@@ -1,0 +1,41 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; per the build plan
+(SURVEY.md §4) the sharded code paths are exercised against
+``xla_force_host_platform_device_count=8`` so pjit/mesh logic compiles and
+executes with real collectives, just on host devices.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import sys
+
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+DATA_ROOT = REPO_ROOT / "tests" / "data"
+
+
+@pytest.fixture(scope="session")
+def data_root():
+    return str(DATA_ROOT)
+
+
+@pytest.fixture(scope="session")
+def circle_data(data_root):
+    """Small circle-geometry train/test netCDF fixtures (generated once)."""
+    from cae_tools_tpu.data.datagen import generate_spec_files
+
+    folder = generate_spec_files("circle", data_root, n=40, seed=1234)
+    return folder

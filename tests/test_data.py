@@ -1,0 +1,134 @@
+"""Data layer tests: xrlite netCDF IO, datagen fixtures, ArrayDataset."""
+
+import numpy as np
+import pytest
+
+from cae_tools_tpu.data import xrlite
+from cae_tools_tpu.data.dataset import ArrayDataset
+from cae_tools_tpu.xrcompat import xr
+
+
+def test_xrlite_roundtrip(tmp_path):
+    ds = xrlite.Dataset()
+    ds["v"] = xrlite.DataArray(
+        np.arange(32, dtype=np.float32).reshape(2, 1, 4, 4),
+        dims=("n", "chan", "y", "x"),
+        attrs={"units": "K"},
+    )
+    ds["aux"] = xrlite.DataArray(
+        np.array([0.5, -0.5], dtype=np.float32),
+        dims=("n",),
+        attrs={"type": "auxilary-predictor"},
+    )
+    path = str(tmp_path / "t.nc")
+    ds.to_netcdf(path)
+
+    ds2 = xrlite.open_dataset(path)
+    np.testing.assert_allclose(ds2["v"].values, ds["v"].values)
+    assert ds2["v"].dims == ("n", "chan", "y", "x")
+    assert ds2["v"].attrs["units"] == "K"
+    assert ds2["aux"].attrs["type"] == "auxilary-predictor"
+    assert ds2.dims["n"] == 2
+
+
+def test_xrlite_concat_and_mf(tmp_path):
+    paths = []
+    for i in range(2):
+        ds = xrlite.Dataset()
+        ds["v"] = xrlite.DataArray(
+            np.full((3, 1, 2, 2), float(i), dtype=np.float32),
+            dims=("box", "chan", "y", "x"),
+        )
+        p = str(tmp_path / f"f{i}.nc")
+        ds.to_netcdf(p)
+        paths.append(p)
+    merged = xrlite.open_mfdataset(paths, concat_dim="box", combine="nested")
+    assert merged["v"].shape == (6, 1, 2, 2)
+    assert merged["v"].values[0, 0, 0, 0] == 0.0
+    assert merged["v"].values[5, 0, 0, 0] == 1.0
+
+
+def test_xrlite_indexing():
+    da = xrlite.DataArray(
+        np.arange(24, dtype=np.float32).reshape(2, 3, 4), dims=("a", "b", "c")
+    )
+    sub = da[0, :, :]
+    assert sub.dims == ("b", "c")
+    assert sub.shape == (3, 4)
+    assert float(da.min()) == 0.0
+    assert float(da.max()) == 23.0
+
+
+def test_datagen_circle(circle_data):
+    ds = xr.open_dataset(circle_data + "/train.nc")
+    lo = ds["lowres"].values
+    hi = ds["hires"].values
+    assert lo.shape == (40, 1, 16, 16)
+    assert hi.shape == (40, 1, 256, 256)
+    # SST-like value range
+    assert 280 < lo.mean() < 300
+    # coarsening consistency: the 16x16 input is a block-mean of the common
+    # grid, so global means agree closely with the high-res output
+    np.testing.assert_allclose(lo.mean(axis=(1, 2, 3)), hi.mean(axis=(1, 2, 3)), rtol=1e-5)
+
+
+def test_array_dataset_normalisation(circle_data):
+    ds = xr.open_dataset(circle_data + "/train.nc")
+    ads = ArrayDataset(ds, ["lowres"], "hires")
+    x, y, m = ads.arrays_nhwc()
+    assert x.shape == (40, 16, 16, 1)
+    assert y.shape == (40, 256, 256, 1)
+    assert m.shape == (40, 256, 256, 1)
+    assert x.min() >= 0.0 and x.max() <= 1.0
+    assert y.min() >= 0.0 and y.max() <= 1.0
+    # denormalise round-trips
+    back = ads.denormalise_output(ads.packed_outputs_nchw())
+    np.testing.assert_allclose(back, ds["hires"].values, rtol=1e-5)
+    # per-item access matches packed arrays
+    in0, out0, mask0, label = ads[0]
+    np.testing.assert_allclose(in0.transpose(1, 2, 0), x[0], rtol=1e-6)
+    np.testing.assert_allclose(out0.transpose(1, 2, 0), y[0], rtol=1e-6)
+    assert label == "image0"
+
+
+def test_array_dataset_multichannel_concat(circle_data):
+    ds = xr.open_dataset(circle_data + "/train.nc")
+    # fabricate a second input variable from the first
+    ds["aux"] = xr.DataArray(
+        np.asarray(ds["lowres"].values) * 2.0 + 1.0, dims=("n", "chan", "y1", "x1")
+    )
+    ads = ArrayDataset(ds, ["lowres", "aux"], "hires")
+    assert ads.get_input_shape() == (2, 16, 16)
+    x, _, _ = ads.arrays_nhwc()
+    assert x.shape == (40, 16, 16, 2)
+    # both channels normalised to [0, 1] independently
+    assert x[..., 0].min() >= 0 and x[..., 1].max() <= 1.0
+    # denormalise_input restores per-variable ranges (fix of reference bug)
+    restored = ads.denormalise_input(ads.packed_inputs_nchw())
+    np.testing.assert_allclose(restored[:, 0], np.asarray(ds["lowres"].values)[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(restored[:, 1], np.asarray(ds["aux"].values)[:, 0], rtol=1e-4)
+
+
+def test_array_dataset_nan_rejected():
+    ds = xrlite.Dataset()
+    arr = np.ones((2, 1, 4, 4), dtype=np.float32)
+    arr[0, 0, 0, 0] = np.nan
+    ds["lo"] = xrlite.DataArray(arr, dims=("n", "chan", "y1", "x1"))
+    ds["hi"] = xrlite.DataArray(
+        np.ones((2, 1, 8, 8), dtype=np.float32), dims=("n", "chan", "y2", "x2")
+    )
+    with pytest.raises(ValueError):
+        ArrayDataset(ds, ["lo"], "hi")
+    with pytest.raises(ValueError):
+        ArrayDataset(ds, ["hi"], "lo")
+
+
+def test_normalisation_parameter_format(circle_data):
+    ds = xr.open_dataset(circle_data + "/train.nc")
+    ads = ArrayDataset(ds, ["lowres"], "hires")
+    params = ads.get_normalisation_parameters()
+    assert isinstance(params[0], dict) and "lowres" in params[0]
+    assert isinstance(params[2], float) and isinstance(params[3], float)
+    ads2 = ArrayDataset(ds, ["lowres"], "hires")
+    ads2.set_normalisation_parameters(params)
+    assert ads2.min_output == ads.min_output

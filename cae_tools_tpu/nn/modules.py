@@ -1,0 +1,533 @@
+"""Functional NN modules (pure apply functions over param pytrees).
+
+TPU-first re-design of the reference's torch modules: activations are NHWC,
+kernels HWIO, parameters live in plain nested-dict pytrees that jit/pjit/scan
+consume directly, and BatchNorm running statistics are explicit state threaded
+through the training step (no mutable module objects).
+
+Architectural parity (cited to the reference):
+ * ConvEncoder — [Conv(k,s) + BN + ReLU] x L, flatten, Linear->ReLU->Linear
+   (``models/encoder.py:34-64``)
+ * ConvDecoder — Linear->ReLU->Linear, unflatten, [ConvT + BN + ReLU] x (L-1),
+   ConvT, sigmoid; kaiming/xavier init (``models/decoder.py:22-78``)
+ * LinearMap — flatten -> Linear -> unflatten (``models/linear.py:33-49``)
+ * VarAEEncoder — conv trunk emitting (mu, logvar) heads; the reference's
+   VarAEModel source is missing upstream, contract reconstructed per
+   SURVEY.md §2.11
+ * UNet encoder/decoder with skip connections + SE-style channel attention
+   (``models/unet.py:23-163``), with a fix-forward: after each attention-gated
+   skip concat, a 1x1 fuse conv restores the spec channel count so the
+   auto-solved spec arithmetic closes (the reference requires hand-authored
+   specs, ``unet.py:138-161``).
+
+BatchNorm matches torch semantics exactly (momentum 0.1, eps 1e-5, biased
+variance for normalisation, unbiased for the running estimate).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models.sizer import LayerSpec
+from ..ops.convops import conv2d, conv_transpose2d, dense
+from . import init as tinit
+
+BN_MOMENTUM = 0.1
+BN_EPS = 1e-5
+
+
+# --------------------------------------------------------------------------
+# batch norm
+# --------------------------------------------------------------------------
+
+def bn_init(num_features):
+    params = {
+        "scale": jnp.ones((num_features,), jnp.float32),
+        "bias": jnp.zeros((num_features,), jnp.float32),
+    }
+    state = {
+        "mean": jnp.zeros((num_features,), jnp.float32),
+        "var": jnp.ones((num_features,), jnp.float32),
+        "count": jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+    }
+    return params, state
+
+
+def bn_apply(params, state, x, train: bool, axes):
+    """BatchNorm over ``axes`` (e.g. (0,1,2) for NHWC, (0,) for NC)."""
+    if train:
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)  # biased, used for normalisation
+        n = x.size // mean.size
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+            "count": state["count"] + 1,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x - mean) * inv * params["scale"] + params["bias"]
+    return y, new_state
+
+
+def dropout(rng, x, rate: float, train: bool):
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# --------------------------------------------------------------------------
+# layer param initialisers (torch-statistics)
+# --------------------------------------------------------------------------
+
+def conv_params_default(rng, kh, kw, cin, cout):
+    """torch Conv2d/ConvTranspose2d default init, stored HWIO."""
+    r1, r2 = jax.random.split(rng)
+    fan_in = cin * kh * kw
+    return {
+        "w": tinit.kaiming_uniform_a5(r1, (kh, kw, cin, cout), fan_in),
+        "b": tinit.bias_uniform(r2, (cout,), fan_in),
+    }
+
+
+def dense_params_default(rng, fin, fout):
+    r1, r2 = jax.random.split(rng)
+    return {
+        "w": tinit.kaiming_uniform_a5(r1, (fin, fout), fin),
+        "b": tinit.bias_uniform(r2, (fout,), fin),
+    }
+
+
+def dense_params_kaiming_out(rng, fin, fout):
+    return {
+        "w": tinit.kaiming_normal_fan_out_relu(rng, (fin, fout), fout),
+        "b": jnp.zeros((fout,), jnp.float32),
+    }
+
+
+def dense_params_xavier(rng, fin, fout):
+    return {
+        "w": tinit.xavier_normal(rng, (fin, fout), fin, fout),
+        "b": jnp.zeros((fout,), jnp.float32),
+    }
+
+
+def convT_params_kaiming(rng, kh, kw, cin, cout):
+    """Reference decoder ConvT init: kaiming_normal fan_out relu
+    (``decoder.py:57-60``; torch fan_out for a ConvT weight = cin*k*k)."""
+    fan_out = cin * kh * kw
+    return {
+        "w": tinit.kaiming_normal_fan_out_relu(rng, (kh, kw, cin, cout), fan_out),
+        "b": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+# --------------------------------------------------------------------------
+# ConvEncoder (plain CAE)
+# --------------------------------------------------------------------------
+
+@dataclass
+class ConvEncoder:
+    layers: Sequence[LayerSpec]
+    encoded_dim: int
+    fc_size: int
+
+    @property
+    def flat_dims(self):
+        c, y, x = self.layers[-1].get_output_dimensions()
+        return int(c), int(y), int(x)
+
+    def init(self, rng):
+        params = {"convs": [], "bns": []}
+        state = {"bns": []}
+        keys = jax.random.split(rng, len(self.layers) + 2)
+        for spec, k in zip(self.layers, keys[:-2]):
+            kh, kw = spec.kernel_hw
+            cin = spec.get_input_dimensions()[0]
+            cout = spec.get_output_dimensions()[0]
+            params["convs"].append(conv_params_default(k, kh, kw, cin, cout))
+            bp, bs = bn_init(cout)
+            params["bns"].append(bp)
+            state["bns"].append(bs)
+        c, y, x = self.flat_dims
+        params["fc1"] = dense_params_default(keys[-2], c * y * x, self.fc_size)
+        params["fc2"] = dense_params_default(keys[-1], self.fc_size, self.encoded_dim)
+        return params, state
+
+    def apply(self, params, state, x, train=False):
+        new_bns = []
+        for spec, cp, bp, bs in zip(
+            self.layers, params["convs"], params["bns"], state["bns"]
+        ):
+            x = conv2d(x, cp["w"], stride=spec.get_stride()) + cp["b"]
+            x, ns = bn_apply(bp, bs, x, train, axes=(0, 1, 2))
+            new_bns.append(ns)
+            x = jax.nn.relu(x)
+        x = x.reshape(x.shape[0], -1)  # NHWC flatten -> YXC ordering
+        x = jax.nn.relu(dense(x, params["fc1"]["w"], params["fc1"]["b"]))
+        x = dense(x, params["fc2"]["w"], params["fc2"]["b"])
+        return x, {"bns": new_bns}
+
+
+# --------------------------------------------------------------------------
+# ConvDecoder (plain CAE)
+# --------------------------------------------------------------------------
+
+@dataclass
+class ConvDecoder:
+    layers: Sequence[LayerSpec]
+    encoded_dim: int
+    fc_size: int
+
+    @property
+    def unflat_dims(self):
+        c, y, x = self.layers[0].get_input_dimensions()
+        return int(c), int(y), int(x)
+
+    def init(self, rng):
+        c, y, x = self.unflat_dims
+        n_layers = len(self.layers)
+        keys = jax.random.split(rng, n_layers + 2)
+        params = {
+            # fc1: kaiming fan_out; fc2 (-> chan*y*x): xavier (decoder.py:61-66)
+            "fc1": dense_params_kaiming_out(keys[0], self.encoded_dim, self.fc_size),
+            "fc2": dense_params_xavier(keys[1], self.fc_size, c * y * x),
+            "convs": [],
+            "bns": [],
+        }
+        state = {"bns": []}
+        for i, (spec, k) in enumerate(zip(self.layers, keys[2:])):
+            kh, kw = spec.kernel_hw
+            cin = spec.get_input_dimensions()[0]
+            cout = spec.get_output_dimensions()[0]
+            params["convs"].append(convT_params_kaiming(k, kh, kw, cin, cout))
+            if i != n_layers - 1:
+                bp, bs = bn_init(cout)
+                params["bns"].append(bp)
+                state["bns"].append(bs)
+        return params, state
+
+    def apply(self, params, state, z, train=False):
+        c, y, x = self.unflat_dims
+        h = jax.nn.relu(dense(z, params["fc1"]["w"], params["fc1"]["b"]))
+        h = dense(h, params["fc2"]["w"], params["fc2"]["b"])
+        h = h.reshape(h.shape[0], y, x, c)  # YXC-ordered unflatten
+        new_bns = []
+        n_layers = len(self.layers)
+        for i, (spec, cp) in enumerate(zip(self.layers, params["convs"])):
+            h = (
+                conv_transpose2d(
+                    h,
+                    cp["w"],
+                    stride=spec.get_stride(),
+                    output_padding=spec.get_output_padding(),
+                )
+                + cp["b"]
+            )
+            if i != n_layers - 1:
+                h, ns = bn_apply(
+                    params["bns"][i], state["bns"][i], h, train, axes=(0, 1, 2)
+                )
+                new_bns.append(ns)
+                h = jax.nn.relu(h)
+        h = jax.nn.sigmoid(h)
+        return h, {"bns": new_bns}
+
+
+# --------------------------------------------------------------------------
+# LinearMap
+# --------------------------------------------------------------------------
+
+@dataclass
+class LinearMap:
+    input_shape: tuple  # (C, Y, X)
+    output_shape: tuple  # (C, Y, X)
+
+    def init(self, rng):
+        c1, y1, x1 = self.input_shape
+        c2, y2, x2 = self.output_shape
+        return {"fc": dense_params_default(rng, c1 * y1 * x1, c2 * y2 * x2)}, {}
+
+    def apply(self, params, state, x, train=False):
+        c2, y2, x2 = self.output_shape
+        h = x.reshape(x.shape[0], -1)
+        h = dense(h, params["fc"]["w"], params["fc"]["b"])
+        return h.reshape(h.shape[0], y2, x2, c2), state
+
+
+# --------------------------------------------------------------------------
+# VarAE encoder head (contract reconstruction, SURVEY.md §2.11)
+# --------------------------------------------------------------------------
+
+@dataclass
+class VarAEEncoder:
+    """Conv trunk as ConvEncoder, but with two latent heads (mu, logvar)."""
+
+    layers: Sequence[LayerSpec]
+    encoded_dim: int
+    fc_size: int
+
+    def _trunk(self):
+        return ConvEncoder(self.layers, self.encoded_dim, self.fc_size)
+
+    def init(self, rng):
+        r_trunk, r_mu, r_lv = jax.random.split(rng, 3)
+        trunk = self._trunk()
+        params, state = trunk.init(r_trunk)
+        # replace the single latent head with (mu, logvar) heads
+        del params["fc2"]
+        params["fc_mu"] = dense_params_default(r_mu, self.fc_size, self.encoded_dim)
+        params["fc_logvar"] = dense_params_default(r_lv, self.fc_size, self.encoded_dim)
+        return params, state
+
+    def apply(self, params, state, x, train=False):
+        new_bns = []
+        for spec, cp, bp, bs in zip(
+            self.layers, params["convs"], params["bns"], state["bns"]
+        ):
+            x = conv2d(x, cp["w"], stride=spec.get_stride()) + cp["b"]
+            x, ns = bn_apply(bp, bs, x, train, axes=(0, 1, 2))
+            new_bns.append(ns)
+            x = jax.nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        h = jax.nn.relu(dense(x, params["fc1"]["w"], params["fc1"]["b"]))
+        mu = dense(h, params["fc_mu"]["w"], params["fc_mu"]["b"])
+        logvar = dense(h, params["fc_logvar"]["w"], params["fc_logvar"]["b"])
+        return (mu, logvar), {"bns": new_bns}
+
+
+def reparameterize(rng, mu, logvar):
+    eps = jax.random.normal(rng, mu.shape, mu.dtype)
+    return mu + eps * jnp.exp(0.5 * logvar)
+
+
+# --------------------------------------------------------------------------
+# UNet
+# --------------------------------------------------------------------------
+
+def channel_attention_init(rng, channels, ratio=8):
+    """SE-style gate (``unet.py:23-39``): shared MLP over avg+max pooling."""
+    hidden = max(channels // ratio, 1)
+    r1, r2 = jax.random.split(rng)
+    # torch Conv2d(1x1, bias=False) default init
+    return {
+        "fc1": tinit.kaiming_uniform_a5(r1, (channels, hidden), channels),
+        "fc2": tinit.kaiming_uniform_a5(r2, (hidden, channels), hidden),
+    }
+
+
+def channel_attention_apply(params, x):
+    avg = jnp.mean(x, axis=(1, 2))  # (N, C)
+    mx = jnp.max(x, axis=(1, 2))
+    def mlp(v):
+        return dense(jax.nn.relu(dense(v, params["fc1"])), params["fc2"])
+    gate = jax.nn.sigmoid(mlp(avg) + mlp(mx))  # (N, C)
+    return gate[:, None, None, :]
+
+
+@dataclass
+class UNetEncoder:
+    """Conv stack collecting post-ReLU skip activations (``unet.py:73-112``)."""
+
+    layers: Sequence[LayerSpec]
+    encoded_dim: int
+    fc_size: int
+    dropout_rate: float = 0.1
+
+    @property
+    def flat_dims(self):
+        c, y, x = self.layers[-1].get_output_dimensions()
+        return int(c), int(y), int(x)
+
+    def init(self, rng):
+        params = {"convs": [], "bns": []}
+        state = {"bns": []}
+        keys = jax.random.split(rng, len(self.layers) + 4)
+        for spec, k in zip(self.layers, keys[: len(self.layers)]):
+            kh, kw = spec.kernel_hw
+            cin = spec.get_input_dimensions()[0]
+            cout = spec.get_output_dimensions()[0]
+            params["convs"].append(conv_params_default(k, kh, kw, cin, cout))
+            bp, bs = bn_init(cout)
+            params["bns"].append(bp)
+            state["bns"].append(bs)
+        c, y, x = self.flat_dims
+        params["fc1"] = dense_params_default(keys[-4], c * y * x, self.fc_size)
+        bp, bs = bn_init(self.fc_size)
+        params["fc_bn"] = bp
+        state["fc_bn"] = bs
+        params["fc2"] = dense_params_default(keys[-3], self.fc_size, self.encoded_dim)
+        return params, state
+
+    def apply(self, params, state, x, train=False, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        new_state = {"bns": []}
+        skips = []
+        for i, (spec, cp, bp, bs) in enumerate(
+            zip(self.layers, params["convs"], params["bns"], state["bns"])
+        ):
+            # reference passes spec.output_padding as conv *padding*
+            # (``unet.py:82``): auto specs have 0 so geometry matches VALID
+            pad = spec.output_padding_hw
+            x = conv2d(
+                x,
+                cp["w"],
+                stride=spec.get_stride(),
+                padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            ) + cp["b"]
+            x, ns = bn_apply(bp, bs, x, train, axes=(0, 1, 2))
+            new_state["bns"].append(ns)
+            x = jax.nn.relu(x)
+            skips.append(x)
+            rng, sub = jax.random.split(rng)
+            x = dropout(sub, x, self.dropout_rate, train)
+        skips.pop()  # last activation feeds the bottleneck, not a skip
+        h = x.reshape(x.shape[0], -1)
+        h = dense(h, params["fc1"]["w"], params["fc1"]["b"])
+        h, ns = bn_apply(params["fc_bn"], state["fc_bn"], h, train, axes=(0,))
+        new_state["fc_bn"] = ns
+        h = jax.nn.relu(h)
+        rng, sub = jax.random.split(rng)
+        h = dropout(sub, h, self.dropout_rate, train)
+        h = jax.nn.relu(dense(h, params["fc2"]["w"], params["fc2"]["b"]))
+        rng, sub = jax.random.split(rng)
+        h = dropout(sub, h, self.dropout_rate, train)
+        return (h, skips), new_state
+
+
+@dataclass
+class UNetDecoder:
+    """Transposed-conv stack with attention-gated skip fusion.
+
+    Per stage: ConvT -> (if a skip with matching spatial size exists)
+    channel-attention gate, concat with the (1x1-projected) skip, 1x1 fuse
+    conv back to the spec channel count -> BN -> ReLU -> Dropout.  The fuse
+    conv is the fix-forward for the reference's open channel arithmetic
+    (``unet.py:138-161`` vs auto specs, SURVEY.md §2 quirks).
+    """
+
+    layers: Sequence[LayerSpec]
+    encoded_dim: int
+    fc_size: int
+    dropout_rate: float = 0.1
+    skip_shapes: Sequence[tuple] = field(default_factory=list)  # [(C,Y,X)] encoder order
+
+    @property
+    def unflat_dims(self):
+        c, y, x = self.layers[0].get_input_dimensions()
+        return int(c), int(y), int(x)
+
+    def _stage_skip(self, stage_idx):
+        """Return (skip_index, skip_shape) matching this stage's output size."""
+        spec = self.layers[stage_idx]
+        _, oy, ox = spec.get_output_dimensions()
+        for si, (sc, sy, sx) in enumerate(self.skip_shapes):
+            if (sy, sx) == (oy, ox):
+                return si, (sc, sy, sx)
+        return None, None
+
+    def init(self, rng):
+        c, y, x = self.unflat_dims
+        n_layers = len(self.layers)
+        keys = jax.random.split(rng, 4 * n_layers + 4)
+        params = {
+            "fc1": dense_params_default(keys[0], self.encoded_dim, self.fc_size),
+            "fc2": dense_params_default(keys[1], self.fc_size, c * y * x),
+            "convs": [],
+            "bns": [],
+            "attn": [],
+            "skip_proj": [],
+            "fuse": [],
+        }
+        state = {"bns": []}
+        bp, bs = bn_init(self.fc_size)
+        params["fc_bn"] = bp
+        state["fc_bn"] = bs
+        ki = 4
+        for i, spec in enumerate(self.layers):
+            kh, kw = spec.kernel_hw
+            cin = spec.get_input_dimensions()[0]
+            cout = spec.get_output_dimensions()[0]
+            params["convs"].append(
+                conv_params_default(keys[ki], kh, kw, cin, cout)
+            )
+            ki += 1
+            if i != n_layers - 1:
+                si, sshape = self._stage_skip(i)
+                if si is not None:
+                    sc = sshape[0]
+                    params["attn"].append(
+                        channel_attention_init(keys[ki], cout)
+                    )
+                    ki += 1
+                    params["skip_proj"].append(
+                        conv_params_default(keys[ki], 1, 1, sc, cout)
+                    )
+                    ki += 1
+                    params["fuse"].append(
+                        conv_params_default(keys[ki], 1, 1, 2 * cout, cout)
+                    )
+                    ki += 1
+                else:
+                    params["attn"].append(None)
+                    params["skip_proj"].append(None)
+                    params["fuse"].append(None)
+                bp, bs = bn_init(cout)
+                params["bns"].append(bp)
+                state["bns"].append(bs)
+        return params, state
+
+    def apply(self, params, state, z, skips, train=False, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        c, y, x = self.unflat_dims
+        new_state = {"bns": []}
+        h = dense(z, params["fc1"]["w"], params["fc1"]["b"])
+        h, ns = bn_apply(params["fc_bn"], state["fc_bn"], h, train, axes=(0,))
+        new_state["fc_bn"] = ns
+        h = jax.nn.relu(h)
+        rng, sub = jax.random.split(rng)
+        h = dropout(sub, h, self.dropout_rate, train)
+        h = jax.nn.relu(dense(h, params["fc2"]["w"], params["fc2"]["b"]))
+        rng, sub = jax.random.split(rng)
+        h = dropout(sub, h, self.dropout_rate, train)
+        h = h.reshape(h.shape[0], y, x, c)
+
+        n_layers = len(self.layers)
+        for i, (spec, cp) in enumerate(zip(self.layers, params["convs"])):
+            pad = spec.output_padding_hw
+            # reference passes spec.output_padding as ConvT *padding*
+            # (``unet.py:140``); auto specs have 0
+            h = conv_transpose2d(
+                h, cp["w"], stride=spec.get_stride(), padding=pad
+            ) + cp["b"]
+            if i != n_layers - 1:
+                if params["attn"][i] is not None:
+                    si, _ = self._stage_skip(i)
+                    skip = skips[si]
+                    gate = channel_attention_apply(params["attn"][i], h)
+                    h = h * gate
+                    sp = params["skip_proj"][i]
+                    skip = conv2d(skip, sp["w"]) + sp["b"]
+                    h = jnp.concatenate([h, skip], axis=-1)
+                    fp = params["fuse"][i]
+                    h = conv2d(h, fp["w"]) + fp["b"]
+                h, ns = bn_apply(
+                    params["bns"][i], state["bns"][i], h, train, axes=(0, 1, 2)
+                )
+                new_state["bns"].append(ns)
+                h = jax.nn.relu(h)
+                rng, sub = jax.random.split(rng)
+                h = dropout(sub, h, self.dropout_rate, train)
+        return jax.nn.sigmoid(h), new_state

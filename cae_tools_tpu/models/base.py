@@ -1,0 +1,186 @@
+"""Abstract model lifecycle.
+
+API parity with the reference ``BaseModel`` (``models/base_model.py:28-203``):
+holds input/output specs (name+shape dicts) and a uuid4 ``model_id``; provides
+the shared ``apply()`` (batch score -> denormalise -> write prediction
+variable into the dataset) and ``evaluate()`` (denormalised ModelMetric
+accumulation); persists ``input_spec.json``/``output_spec.json``.
+
+TPU redesign: subclasses expose a pure ``_forward(params, state, x_nhwc)``
+function; ``apply``/``evaluate`` pad the case dimension to a batch multiple,
+run a single jitted ``lax.map`` over batch chunks (one dispatch for the whole
+dataset instead of a Python batch loop with per-batch host syncs), and copy
+back once.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import uuid
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import ArrayDataset
+from ..xrcompat import xr
+from .metrics import ModelMetric
+
+
+class BaseModel:
+    def __init__(self):
+        self.input_spec = None
+        self.output_spec = None
+        self.model_id = str(uuid.uuid4())
+        self.mesh = None  # optional jax.sharding.Mesh for multi-chip runs
+        self._apply_cache = {}
+
+    # ---- spec accessors (base_model.py:35-61) -----------------------------
+    def set_input_spec(self, input_spec):
+        self.input_spec = input_spec
+
+    def get_input_spec(self):
+        return self.input_spec
+
+    def set_output_spec(self, output_spec):
+        self.output_spec = output_spec
+
+    def get_output_spec(self):
+        return self.output_spec
+
+    def get_input_variable_names(self):
+        if self.input_spec is None:
+            return None
+        return [item["name"] for item in self.input_spec]
+
+    def get_output_variable_name(self):
+        if self.output_spec is None:
+            return None
+        return self.output_spec["name"]
+
+    def set_model_id(self, model_id):
+        self.model_id = model_id
+
+    def get_model_id(self):
+        return self.model_id
+
+    def set_mesh(self, mesh):
+        self.mesh = mesh
+
+    # ---- subclass compute hook -------------------------------------------
+    def _forward_eval(self, x):
+        """Pure eval-mode forward on an (B, H, W, C) batch -> (B, H', W', C')."""
+        raise NotImplementedError
+
+    def _predict_normalised(self, x_np: np.ndarray) -> np.ndarray:
+        """Run the model over all cases; input/output are NHWC numpy."""
+        n = x_np.shape[0]
+        bs = max(1, int(self.batch_size))
+        chunks = max(1, math.ceil(n / bs))
+        n_pad = chunks * bs
+        if n_pad != n:
+            x_np = np.concatenate(
+                [x_np, np.repeat(x_np[-1:], n_pad - n, axis=0)], axis=0
+            )
+        key = ("predict", x_np.shape, bs)  # includes padded N -> chunk count
+        if key not in self._apply_cache:
+
+            @jax.jit
+            def run(x):
+                xb = x.reshape((chunks, bs) + x.shape[1:])
+                yb = jax.lax.map(self._forward_eval, xb)
+                return yb.reshape((n_pad,) + yb.shape[2:])
+
+            self._apply_cache[key] = run
+        out = np.asarray(self._apply_cache[key](jnp.asarray(x_np)))
+        return out[:n]
+
+    # ---- evaluation (base_model.py:69-100) --------------------------------
+    def evaluate(self, dataset: ArrayDataset, device=None):
+        """Denormalised metric collection over a dataset."""
+        dataset.set_normalise_output(False)
+        x, y_not_norm, mask = dataset.arrays_nhwc()
+        scores = self._predict_normalised(x)
+        scores = dataset.denormalise_output(scores, force=True)
+        mm = ModelMetric()
+        for i in range(x.shape[0]):
+            mm.accumulate(y_not_norm[i], scores[i], mask[i])
+        return mm.get_metrics()
+
+    # ---- inference into a dataset (base_model.py:102-152) -----------------
+    def apply(
+        self,
+        score_ds,
+        input_variables,
+        prediction_variable="model_output",
+        channel_dimension="model_output_channel",
+        y_dimension="model_output_y",
+        x_dimension="model_output_x",
+        mask_variable_name=None,
+    ):
+        """Apply the model to input data, extending ``score_ds`` in place."""
+        n_dimension = score_ds[input_variables[0]].dims[0]
+
+        ds = ArrayDataset(
+            score_ds,
+            input_variables,
+            input_variables[0],
+            normalise_in=self.normalise_input,
+            mask_variable_name=mask_variable_name,
+        )
+        ds.set_normalisation_parameters(self.normalisation_parameters)
+        x, _, _ = ds.arrays_nhwc()
+        scores = self._predict_normalised(x)  # (N, Y, X, C) normalised
+        scores = ds.denormalise_output(scores)
+        scores_nchw = np.ascontiguousarray(scores.transpose(0, 3, 1, 2))
+        score_ds[prediction_variable] = xr.DataArray(
+            scores_nchw,
+            dims=(n_dimension, channel_dimension, y_dimension, x_dimension),
+        )
+
+    def dump_metrics(self, title, metrics):
+        print("\n" + title)
+        for key in metrics:
+            print(f"\t{key:30s}:{metrics[key]}")
+
+    # ---- persistence (base_model.py:162-180) ------------------------------
+    def save(self, to_folder):
+        if self.input_spec is not None:
+            with open(os.path.join(to_folder, "input_spec.json"), "w") as f:
+                f.write(json.dumps(self.input_spec))
+        if self.output_spec is not None:
+            with open(os.path.join(to_folder, "output_spec.json"), "w") as f:
+                f.write(json.dumps(self.output_spec))
+
+    def load(self, from_folder):
+        input_spec_path = os.path.join(from_folder, "input_spec.json")
+        if os.path.exists(input_spec_path):
+            with open(input_spec_path) as f:
+                self.input_spec = json.loads(f.read())
+        output_spec_path = os.path.join(from_folder, "output_spec.json")
+        if os.path.exists(output_spec_path):
+            with open(output_spec_path) as f:
+                self.output_spec = json.loads(f.read())
+
+    # ---- stubs ------------------------------------------------------------
+    def train(
+        self,
+        input_variables,
+        output_variable,
+        training_ds,
+        testing_ds,
+        model_path="",
+        training_paths="",
+        testing_paths="",
+        mask_variable_name=None,
+    ):
+        raise NotImplementedError
+
+    def summary(self):
+        raise NotImplementedError
+
+    def get_parameters(self):
+        raise NotImplementedError

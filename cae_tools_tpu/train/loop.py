@@ -1,0 +1,254 @@
+"""Compiled training loop.
+
+TPU-first redesign of the reference's per-batch Python loop
+(``conv_ae_model.py:185-203,328-334``): the whole dataset is resident on the
+device (mesh), every epoch is a ``lax.scan`` over batches inside one jitted
+function, and multi-epoch spans between test evaluations run as a second
+``lax.scan`` level — one XLA dispatch per ``test_interval`` epochs instead of
+per batch.  Shuffling is a per-epoch ``jax.random.permutation`` traced into
+the graph; the trailing partial batch is padded with zero-weight samples so
+all shapes are static while loss/grad semantics match torch's smaller final
+batch exactly.
+
+Optimizers replicate the reference's exactly:
+ * ``adam_l2`` — torch ``Adam(weight_decay=wd)``: L2 term added to the
+   gradient *before* the Adam moments (``conv_ae_model.py:310``)
+ * ``adamw`` — torch ``AdamW`` decoupled decay (``unet.py:457``)
+and the LR schedule mirrors torch ``CosineAnnealingLR(T_max, eta_min)``
+stepped per epoch while ``epoch < T_max`` (``unet.py:459,486-487``; note the
+reference passes ``eta_min=lr`` making it constant — that default is kept).
+
+Loss functions have the signature::
+
+    loss_fn(params, state, rng, batch, train) -> (loss, (new_state, aux))
+
+where ``batch`` maps array names ("x", "y", "m", ...) to a batch slice plus
+"w", the per-sample weight vector, and ``aux`` is a dict of scalar metrics.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 10
+    nr_epochs: int = 500
+    test_interval: int = 10
+    lr: float = 0.001
+    weight_decay: float = 1e-5
+    optimizer: str = "adam_l2"  # "adam_l2" | "adamw"
+    schedule: str = "constant"  # "constant" | "cosine"
+    t_max: int = 500
+    eta_min: Optional[float] = None  # None -> lr (reference unet.py:459)
+    seed: int = 0
+
+
+def make_optimizer(config: TrainConfig, schedule_fn) -> optax.GradientTransformation:
+    if config.optimizer == "adam_l2":
+        return optax.chain(
+            optax.add_decayed_weights(config.weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_learning_rate(schedule_fn),
+        )
+    if config.optimizer == "adamw":
+        return optax.adamw(
+            learning_rate=schedule_fn,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=config.weight_decay,
+        )
+    raise ValueError(f"unknown optimizer {config.optimizer!r}")
+
+
+class Trainer:
+    """Owns opt/loop state and the jit caches for one training run."""
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        config: TrainConfig,
+        mesh=None,
+        donate: bool = True,
+    ):
+        self.loss_fn = loss_fn
+        self.config = config
+        self.mesh = mesh
+        self.donate = donate
+        self._epoch_of_step = None  # set in fit()
+
+        if config.schedule == "cosine":
+            base = config.lr
+            eta_min = config.eta_min if config.eta_min is not None else config.lr
+
+            def lr_for_epoch(epoch):
+                e = jnp.minimum(epoch, config.t_max)
+                return eta_min + (base - eta_min) * 0.5 * (
+                    1.0 + jnp.cos(jnp.pi * e / config.t_max)
+                )
+
+        else:
+
+            def lr_for_epoch(epoch):
+                return jnp.asarray(config.lr, jnp.float32)
+
+        self.lr_for_epoch = lr_for_epoch
+
+    # ------------------------------------------------------------------
+    def _prep(self, data: dict, batch_size: int):
+        """Static batching plan for a data dict of (N, ...) arrays."""
+        n = next(iter(data.values())).shape[0]
+        steps = max(1, math.ceil(n / batch_size))
+        n_pad = steps * batch_size
+        return n, steps, n_pad
+
+    def _place(self, data: dict):
+        if self.mesh is not None:
+            return {
+                k: jax.device_put(v, batch_sharding(self.mesh, np.ndim(v)))
+                for k, v in data.items()
+            }
+        return {k: jnp.asarray(v) for k, v in data.items()}
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        params,
+        state,
+        train_data: dict,
+        test_data: dict,
+        history: dict,
+        log_fn=None,
+        nr_epochs: Optional[int] = None,
+        epoch_offset: int = 0,
+    ):
+        """Run the training loop; returns (params, state, history)."""
+        cfg = self.config
+        nr_epochs = nr_epochs if nr_epochs is not None else cfg.nr_epochs
+        n, steps, n_pad = self._prep(train_data, cfg.batch_size)
+        tn, tsteps, tn_pad = self._prep(test_data, cfg.batch_size)
+
+        train_data = self._place(train_data)
+        test_data = self._place(test_data)
+        if self.mesh is not None:
+            repl = replicated_sharding(self.mesh)
+            params = jax.device_put(params, repl)
+            state = jax.device_put(state, repl)
+
+        schedule_fn = lambda step: self.lr_for_epoch(step // steps)
+        tx = make_optimizer(cfg, schedule_fn)
+        opt_state = tx.init(params)
+
+        loss_fn = self.loss_fn
+
+        def batch_weights(n_real, n_padded, batch, steps_):
+            w = jnp.concatenate(
+                [
+                    jnp.ones((n_real,), jnp.float32),
+                    jnp.zeros((n_padded - n_real,), jnp.float32),
+                ]
+            )
+            return w.reshape(steps_, batch)
+
+        train_w = batch_weights(n, n_pad, cfg.batch_size, steps)
+        test_w = batch_weights(tn, tn_pad, cfg.batch_size, tsteps)
+
+        def epoch_fn(carry, rng):
+            params, state, opt_state = carry
+            perm_rng, drop_rng = jax.random.split(rng)
+            perm = jax.random.permutation(perm_rng, n)
+            idx = jnp.concatenate(
+                [perm, jnp.broadcast_to(perm[:1], (n_pad - n,))]
+            ).reshape(steps, cfg.batch_size)
+            step_rngs = jax.random.split(drop_rng, steps)
+
+            def step_fn(c, scan_in):
+                params, state, opt_state = c
+                bidx, bw, brng = scan_in
+                batch = {k: v[bidx] for k, v in train_data.items()}
+                batch["w"] = bw
+                (loss, (new_state, aux)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, state, brng, batch, True)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_state, opt_state), (loss, aux)
+
+            (params, state, opt_state), (losses, auxes) = jax.lax.scan(
+                step_fn, (params, state, opt_state), (idx, train_w, step_rngs)
+            )
+            epoch_loss = jnp.mean(losses)
+            epoch_aux = jax.tree_util.tree_map(jnp.mean, auxes)
+            return (params, state, opt_state), (epoch_loss, epoch_aux)
+
+        @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0,))
+        def run_epochs(carry, rng, n_epochs):
+            rngs = jax.random.split(rng, n_epochs)
+            carry, (losses, auxes) = jax.lax.scan(epoch_fn, carry, rngs)
+            return carry, (losses[-1], jax.tree_util.tree_map(lambda a: a[-1], auxes))
+
+        test_idx = jnp.concatenate(
+            [jnp.arange(tn), jnp.broadcast_to(jnp.arange(1), (tn_pad - tn,))]
+        ).reshape(tsteps, cfg.batch_size)
+
+        @jax.jit
+        def eval_loss(params, state):
+            def step_fn(_, scan_in):
+                bidx, bw = scan_in
+                batch = {k: v[bidx] for k, v in test_data.items()}
+                batch["w"] = bw
+                loss, (_, aux) = loss_fn(
+                    params, state, jax.random.PRNGKey(0), batch, False
+                )
+                return None, (loss, aux)
+
+            _, (losses, auxes) = jax.lax.scan(
+                step_fn, None, (test_idx, test_w)
+            )
+            return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, auxes)
+
+        # ---- host loop: record/print at the reference cadence -----------
+        rng = jax.random.PRNGKey(cfg.seed)
+        carry = (params, state, opt_state)
+        epoch = 0
+        train_loss = test_loss = 0.0
+        while epoch < nr_epochs:
+            # run up to the next test checkpoint (epochs where e % interval == 0)
+            chunk = 1 if epoch % cfg.test_interval == 0 else min(
+                cfg.test_interval - (epoch % cfg.test_interval),
+                nr_epochs - epoch,
+            )
+            rng, sub = jax.random.split(rng)
+            carry, (train_loss, train_aux) = run_epochs(carry, sub, n_epochs=chunk)
+            epoch += chunk
+            e_now = epoch - 1
+            if e_now % cfg.test_interval == 0:
+                test_loss, test_aux = eval_loss(carry[0], carry[1])
+                train_loss = float(train_loss)
+                test_loss = float(test_loss)
+                history["train_loss"].append(train_loss)
+                history["test_loss"].append(test_loss)
+                if log_fn is not None:
+                    log_fn(
+                        epoch_offset + e_now,
+                        train_loss,
+                        test_loss,
+                        jax.tree_util.tree_map(float, train_aux),
+                        jax.tree_util.tree_map(float, test_aux),
+                        float(self.lr_for_epoch(e_now)),
+                    )
+        params, state, opt_state = carry
+        return params, state, float(train_loss), float(test_loss)

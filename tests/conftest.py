@@ -8,12 +8,21 @@ executes with real collectives, just on host devices.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the host env pins a TPU platform
+# XLA flags must be in the env before the first backend initialisation
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The host environment force-registers a TPU PJRT plugin via sitecustomize
+# and pins JAX_PLATFORMS before any conftest runs; the env var alone is NOT
+# enough.  jax.config wins if updated before first device use.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import pathlib
 import sys

@@ -1,0 +1,60 @@
+"""``apply_cae`` console entry point: batch inference dataset -> dataset +
+prediction variable -> netCDF (reference ``cli/apply_cae.py:28-92``)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..models import load_model
+from .common import broadcast_scalar_vars, open_inputs
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("data_paths", nargs="+", help="path to netcdf4 file(s) containing data to which model is applied")
+    parser.add_argument("output_path", help="path to write the netcdf4 file containing input data plus model outputs")
+    parser.add_argument("--model-folder", help="folder to save the trained model to", required=True)
+    parser.add_argument("--input-variables", nargs="+", help="name of the input variable(s) in training/test data", required=False)
+    parser.add_argument("--prediction-variable", help="name of the prediction variable to create in output data", default="model_output")
+    parser.add_argument("--mask-variable", type=str, help="name of the mask variable", default=None)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    mt = load_model(args.model_folder)
+
+    # input-variable consistency vs the saved input spec (apply_cae.py:55-68)
+    input_variable_names = args.input_variables
+    model_input_variable_names = mt.get_input_variable_names()
+    if not input_variable_names:
+        if model_input_variable_names is None:
+            raise SystemExit(
+                "Please specify the input variable names using --input-variables"
+            )
+        input_variable_names = model_input_variable_names
+    elif model_input_variable_names is not None and (
+        input_variable_names != model_input_variable_names
+    ):
+        raise SystemExit(
+            f"input_variables [{','.join(input_variable_names)}] inconsistent with "
+            f"those used to train the model [{','.join(model_input_variable_names)}]"
+        )
+
+    score_ds = open_inputs(args.data_paths)
+    case_dimension = score_ds[input_variable_names[0]].dims[0]
+    broadcast_scalar_vars(score_ds, input_variable_names, case_dimension)
+
+    print("Applying model for %d cases" % score_ds[input_variable_names[0]].shape[0])
+    mt.apply(
+        score_ds,
+        input_variable_names,
+        args.prediction_variable,
+        mask_variable_name=args.mask_variable,
+    )
+    score_ds.to_netcdf(args.output_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Shared CLI helpers: dataset opening and 1-D auxiliary-variable broadcast.
+
+The reference CLIs accept variables stored per-case as 1-D ``(box,)`` arrays
+(e.g. tide height) and broadcast them to ``(box, 1, y, x)`` channels before
+training/applying (``cli/train_cae.py:73-109``, ``cli/apply_cae.py:74-85``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..xrcompat import xr
+
+
+def open_inputs(paths):
+    """Open one or more netCDF files concatenated on the case dimension."""
+    return xr.open_mfdataset(paths, concat_dim="box", combine="nested")
+
+
+def broadcast_scalar_vars(ds, variable_names, case_dimension):
+    """Expand any 1-D (case,) variable to (case, 1, y, x) in place."""
+    dims = ds.dims
+    y_name = "y1" if "y1" in dims else "y"
+    x_name = "x1" if "x1" in dims else "x"
+    y_dim = dims.get(y_name)
+    x_dim = dims.get(x_name)
+    for var in variable_names:
+        if ds[var].dims == (case_dimension,):
+            if y_dim is None or x_dim is None:
+                raise ValueError(
+                    f"cannot broadcast 1-D variable {var!r}: no y/x dimensions in dataset"
+                )
+            print(
+                f"Variable '{var}' does not follow the dimension (box, channel, y, x). Extending dimensions..."
+            )
+            values = np.asarray(ds[var].values)
+            expanded = np.broadcast_to(
+                values[:, None, None, None].astype(np.float32),
+                (values.shape[0], 1, y_dim, x_dim),
+            ).copy()
+            del ds[var]
+            ds[var] = xr.DataArray(
+                expanded, dims=(case_dimension, "channel", y_name, x_name)
+            )
+    return ds

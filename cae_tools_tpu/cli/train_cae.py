@@ -1,0 +1,186 @@
+"""``train_cae`` console entry point.
+
+Flag surface matches the reference (``cli/train_cae.py:19-53``) so existing
+invocations keep working; behavioral fixes over the reference snapshot
+(SURVEY.md §4 quirks table):
+
+ * ``--method var``/``vae`` construct :class:`VarAEModel` (the reference
+   defaults to ``var`` yet never constructs it -> NameError)
+ * ``--mask-variable`` is accepted by every model's ``train``
+ * ``unet_res``/``srcnn_res``/``resunet_gan`` fail fast with a clear message
+   (accepted-but-unhandled upstream)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from ..models import MODEL_TYPES, ConvAEModel, LinearModel, UNET, VarAEModel
+from ..models.sizer import ModelSpec
+from .common import broadcast_scalar_vars, open_inputs
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train-inputs", nargs="+", help="path(s) to netcdf4 file containing training data", required=True)
+    parser.add_argument("--test-inputs", nargs="+", help="path(s) to netcdf4 file containing test data", required=True)
+    parser.add_argument("--model-folder", help="folder to save the trained model to", required=True)
+    parser.add_argument("--continue-training", action="store_true", help="continue training model")
+    parser.add_argument("--input-variables", nargs="+", help="name of the input variable(s) in training/test data", required=True)
+    parser.add_argument("--output-variable", help="name of the output variable in training/test data", required=True)
+    parser.add_argument("--nr-epochs", type=int, help="number of training epochs", default=500)
+    parser.add_argument("--latent-size", type=int, help="size of the latent space", default=4)
+    parser.add_argument("--fc-size", type=int, help="size of the fully-connected layers", default=16)
+    parser.add_argument("--batch-size", type=int, help="number of images to process in one batch", default=10)
+    parser.add_argument("--learning-rate", type=float, help="the learning rate", default=0.001)
+    parser.add_argument("--lr-step-size", type=int, help="the schedular steps for the learning rate", default=500)
+    parser.add_argument("--lr-gamma", type=float, help="decay factor of the scheduled learning rate", default=0.5)
+    parser.add_argument("--lambda-mse", type=float, help="controls the strength of the mse loss in vae", default=1)
+    parser.add_argument("--lambda-kl", type=float, help="controls the strength of the kl loss in vae", default=1)
+    parser.add_argument("--lambda-l1", type=float, help="controls the strength of l1 regularization", default=0.001)
+    parser.add_argument("--lambda-pearson", type=float, help="controls the strength of the pearson loss", default=1)
+    parser.add_argument("--lambda-ssim", type=float, help="controls the strength of the ssim loss", default=1)
+    parser.add_argument("--lambda-additional", type=float, help="controls the strength of additional regularization", default=1)
+    parser.add_argument("--weight-decay", type=float, help="weight decay coefficient", default=1e-5)
+    parser.add_argument("--dropout-rate", type=float, help="dropout rate", default=1e-1)
+    parser.add_argument("--additional-loss", type=str, help="additional loss types ('contrastive', 'histogram', 'perceptual')", default=None)
+    parser.add_argument("--scheduler-type", type=str, help="scheduler type ('StepLR', 'ReduceLROnPlateau', 'ExponentialLR','CosineAnnealingLR')", default=None)
+    parser.add_argument("--method", choices=["conv", "unet", "unet_res", "srcnn_res", "resunet_gan", "var", "vae", "linear"], default="var", help="methods")
+    parser.add_argument("--layer-definitions-path", help="specify path of a JSON file with layer definitions", default=None)
+    parser.add_argument("--stride", type=int, help="stride to use in convolutional layers", default=2)
+    parser.add_argument("--kernel-size", type=int, help="kernel size to use in convolutional layers", default=3)
+    parser.add_argument("--input-layer-count", type=int, help="number of input convolutional layers", default=None)
+    parser.add_argument("--output-layer-count", type=int, help="number of output convolutional layers", default=None)
+    parser.add_argument("--model-id", type=str, help="specify the model id when creating a model", default=None)
+    parser.add_argument("--database-path", type=str, help="path to a database to store evaluation results", default=None)
+    parser.add_argument("--chunk-size", type=int, help="chunk size for xarray", default=1000)
+    parser.add_argument("--include-coasts", help="include coastal areas", default=False)
+    parser.add_argument("--mask-variable", type=str, help="name of the mask variable", default=None)
+    return parser
+
+
+def build_model(args):
+    """Construct a fresh model from CLI flags (method dispatch)."""
+    common = dict(
+        nr_epochs=args.nr_epochs,
+        batch_size=args.batch_size,
+        lr=args.learning_rate,
+    )
+    if args.method == "conv":
+        return ConvAEModel(
+            fc_size=args.fc_size,
+            encoded_dim_size=args.latent_size,
+            conv_kernel_size=args.kernel_size,
+            conv_stride=args.stride,
+            conv_input_layer_count=args.input_layer_count,
+            conv_output_layer_count=args.output_layer_count,
+            database_path=args.database_path,
+            weight_decay=args.weight_decay,
+            **common,
+        )
+    if args.method in ("var", "vae"):
+        return VarAEModel(
+            fc_size=args.fc_size,
+            encoded_dim_size=args.latent_size,
+            conv_kernel_size=args.kernel_size,
+            conv_stride=args.stride,
+            conv_input_layer_count=args.input_layer_count,
+            conv_output_layer_count=args.output_layer_count,
+            database_path=args.database_path,
+            weight_decay=args.weight_decay,
+            lambda_mse=args.lambda_mse,
+            lambda_kl=args.lambda_kl,
+            lambda_ssim=args.lambda_ssim,
+            **common,
+        )
+    if args.method == "unet":
+        return UNET(
+            fc_size=args.fc_size,
+            encoded_dim_size=args.latent_size,
+            lambda_l1=args.lambda_l1,
+            lambda_pearson=args.lambda_pearson,
+            database_path=args.database_path,
+            weight_decay=args.weight_decay,
+            dropout_rate=args.dropout_rate,
+            conv_kernel_size=args.kernel_size,
+            conv_stride=args.stride,
+            conv_input_layer_count=args.input_layer_count,
+            conv_output_layer_count=args.output_layer_count,
+            **common,
+        )
+    if args.method == "linear":
+        return LinearModel(database_path=args.database_path, weight_decay=args.weight_decay, **common)
+    raise SystemExit(
+        f"method {args.method!r} is not implemented in this snapshot "
+        "(accepted-but-unhandled in the reference as well)"
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    train_ds = open_inputs(args.train_inputs)
+    test_ds = open_inputs(args.test_inputs)
+    case_dimension = train_ds[args.output_variable].dims[0]
+    print(
+        "Training cases: %d, Test cases: %d"
+        % (
+            train_ds[args.output_variable].shape[0],
+            test_ds[args.output_variable].shape[0],
+        )
+    )
+
+    training_paths = ";".join(args.train_inputs)
+    test_paths = ";".join(args.test_inputs)
+
+    broadcast_scalar_vars(train_ds, args.input_variables, case_dimension)
+    broadcast_scalar_vars(test_ds, args.input_variables, case_dimension)
+
+    if args.continue_training:
+        with open(os.path.join(args.model_folder, "parameters.json")) as f:
+            parameters = json.loads(f.read())
+        cls = MODEL_TYPES.get(parameters["type"])
+        if cls is None:
+            raise SystemExit(f"unknown model type {parameters['type']!r}")
+        mt = cls()
+        mt.load(args.model_folder)
+        mt.nr_epochs = args.nr_epochs
+        mt.lr = args.learning_rate
+        mt.batch_size = args.batch_size
+        if args.database_path:
+            # fix-forward: the reference loses the tracker on retrain
+            # (cli/train_cae.py:116-125 constructs without database_path)
+            from ..utils.model_database import ModelDatabase
+
+            mt.db = ModelDatabase(args.database_path)
+    else:
+        mt = build_model(args)
+        if args.model_id:
+            mt.set_model_id(args.model_id)
+        if args.layer_definitions_path:
+            with open(args.layer_definitions_path) as f:
+                spec = ModelSpec()
+                spec.load(json.loads(f.read()))
+                mt.spec = spec
+
+    start_time = time.time()
+    print("Ready for training process")
+    mt.train(
+        args.input_variables,
+        args.output_variable,
+        training_ds=train_ds,
+        testing_ds=test_ds,
+        model_path=args.model_folder,
+        training_paths=training_paths,
+        testing_paths=test_paths,
+        mask_variable_name=args.mask_variable,
+    )
+    end_time = time.time()
+    print(f"Time taken to train: {end_time - start_time:.2f} seconds")
+
+
+if __name__ == "__main__":
+    main()

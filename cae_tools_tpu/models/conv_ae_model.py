@@ -39,6 +39,7 @@ from .sizer import ModelSpec, create_model_spec
 
 class ConvAEModel(BaseModel):
     MODEL_TYPE = "ConvAEModel"
+    DB_TYPE = "ConvAE"
 
     def __init__(
         self,
@@ -316,7 +317,7 @@ class ConvAEModel(BaseModel):
         if self.db:
             self.db.add_training_result(
                 self.get_model_id(),
-                "ConvAE",
+                self.DB_TYPE,
                 output_variable,
                 input_variables,
                 self.summary(),

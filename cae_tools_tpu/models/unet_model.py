@@ -1,0 +1,403 @@
+"""UNet-style skip-connection autoencoder — the production model for LST
+downscaling in the reference (``models/unet.py:200-695``).
+
+Parity surface:
+ * hyperparameters incl. ``dropout_rate``, ``lambda_l1``, ``lambda_pearson``
+   (``unet.py:201-204``) and the ``get_parameters`` dict (``unet.py:255-275``)
+ * loss = masked MSE + lambda_pearson * (1 - masked Pearson)
+   (``unet.py:316-321``), AdamW + CosineAnnealingLR(T_max=500, eta_min=lr)
+   stepped per epoch while epoch < T_max (``unet.py:457-459,486-487``)
+ * stdout: the ``test_mse:`` line format that ``hypar_optim.py:82`` regex
+   scrapes, plus the ``learn rate:`` line (``unet.py:495-496``)
+ * KeyboardInterrupt-safe training (``unet.py:483-507``)
+ * model folder: same JSON files; weights files hold this implementation's
+   own state-dict naming (flat pytree keys) because the reference UNET's
+   checkpoint format only exists for hand-authored layer specs — its decoder
+   channel arithmetic does not close for auto-solved specs (SURVEY.md §2
+   quirks); here the skip fusion is spec-closing by construction
+   (`nn.modules.UNetDecoder`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import ArrayDataset
+from ..nn import modules as M
+from ..nn import torchio
+from ..ops import losses as L
+from ..train.loop import TrainConfig, Trainer
+from ..utils.model_database import ModelDatabase
+from .base import BaseModel
+from .sizer import ModelSpec, create_model_spec
+
+
+class UNET(BaseModel):
+    MODEL_TYPE = "UNET"
+    DB_TYPE = "UNET"
+
+    def __init__(
+        self,
+        normalise_input=True,
+        normalise_output=True,
+        batch_size=10,
+        nr_epochs=500,
+        test_interval=10,
+        encoded_dim_size=32,
+        fc_size=128,
+        lr=0.001,
+        weight_decay=1e-5,
+        dropout_rate=0.1,
+        use_gpu=True,
+        conv_kernel_size=3,
+        conv_stride=2,
+        conv_input_layer_count=None,
+        conv_output_layer_count=None,
+        database_path=None,
+        lambda_l1=0.001,
+        lambda_pearson=1,
+    ):
+        super().__init__()
+        self.normalise_input = normalise_input
+        self.normalise_output = normalise_output
+        self.normalisation_parameters = None
+        self.input_shape = self.output_shape = None
+        self.batch_size = batch_size
+        self.nr_epochs = nr_epochs
+        self.test_interval = test_interval
+        self.encoded_dim_size = encoded_dim_size
+        self.fc_size = fc_size
+        self.lr = lr
+        self.weight_decay = weight_decay
+        self.dropout_rate = dropout_rate
+        self.use_gpu = use_gpu
+        self.conv_kernel_size = conv_kernel_size
+        self.conv_stride = conv_stride
+        self.conv_input_layer_count = conv_input_layer_count
+        self.conv_output_layer_count = conv_output_layer_count
+        self.spec = None
+        self.history = {"train_loss": [], "test_loss": [], "nr_epochs": 0}
+        self.db = ModelDatabase(database_path) if database_path else None
+        self.lambda_l1 = lambda_l1
+        self.lambda_pearson = lambda_pearson
+
+        self.encoder = None  # nn.modules.UNetEncoder
+        self.decoder = None  # nn.modules.UNetDecoder
+        self.params = None
+        self.state = None
+
+    def get_parameters(self):
+        return {
+            "type": self.MODEL_TYPE,
+            "input_shape": list(self.input_shape),
+            "output_shape": list(self.output_shape),
+            "batch_size": self.batch_size,
+            "test_interval": self.test_interval,
+            "encoded_dim_size": self.encoded_dim_size,
+            "fc_size": self.fc_size,
+            "lr": self.lr,
+            "lambda_pearson": self.lambda_pearson,
+            "weight_decay": self.weight_decay,
+            "dropout_rate": self.dropout_rate,
+            "normalise_input": self.normalise_input,
+            "normalise_output": self.normalise_output,
+            "conv_kernel_size": self.conv_kernel_size,
+            "conv_stride": self.conv_stride,
+            "conv_input_layer_count": self.conv_input_layer_count,
+            "conv_output_layer_count": self.conv_output_layer_count,
+            "model_id": self.get_model_id(),
+        }
+
+    # ---- module construction ----------------------------------------------
+    def _skip_shapes(self):
+        # post-ReLU activations of every encoder layer except the last
+        # (unet.py:104-111); shapes in encoder order as (C, Y, X)
+        return [
+            tuple(l.get_output_dimensions())
+            for l in self.spec.get_input_layers()[:-1]
+        ]
+
+    def _build_modules(self):
+        self.encoder = M.UNetEncoder(
+            self.spec.get_input_layers(),
+            self.encoded_dim_size,
+            self.fc_size,
+            dropout_rate=self.dropout_rate,
+        )
+        self.decoder = M.UNetDecoder(
+            self.spec.get_output_layers(),
+            self.encoded_dim_size,
+            self.fc_size,
+            dropout_rate=self.dropout_rate,
+            skip_shapes=self._skip_shapes(),
+        )
+
+    def _init_params(self, rng):
+        enc_p, enc_s = self.encoder.init(jax.random.fold_in(rng, 0))
+        dec_p, dec_s = self.decoder.init(jax.random.fold_in(rng, 1))
+        self.params = {"encoder": enc_p, "decoder": dec_p}
+        self.state = {"encoder": enc_s, "decoder": dec_s}
+
+    def _forward_eval(self, x):
+        (z, skips), _ = self.encoder.apply(
+            self.params["encoder"], self.state["encoder"], x, train=False
+        )
+        y, _ = self.decoder.apply(
+            self.params["decoder"], self.state["decoder"], z, skips, train=False
+        )
+        return y
+
+    def _make_loss_fn(self):
+        encoder, decoder = self.encoder, self.decoder
+        lambda_pearson = self.lambda_pearson
+
+        def loss_fn(params, state, rng, batch, train):
+            r_enc, r_dec = jax.random.split(rng)
+            (z, skips), enc_s = encoder.apply(
+                params["encoder"], state["encoder"], batch["x"], train, rng=r_enc
+            )
+            out, dec_s = decoder.apply(
+                params["decoder"], state["decoder"], z, skips, train, rng=r_dec
+            )
+            w = batch["w"][:, None, None, None]
+            mask = jnp.broadcast_to(batch["m"], out.shape) * w
+            mse = L.masked_mse(out, batch["y"], mask)
+            corr = L.masked_pearson(out, batch["y"], mask)  # (N, C)
+            wsum = jnp.maximum(jnp.sum(batch["w"]), 1.0)
+            corr_mean = jnp.sum(
+                jnp.mean(corr, axis=1) * batch["w"]
+            ) / wsum
+            pearson_loss = 1.0 - corr_mean
+            loss = mse + lambda_pearson * pearson_loss
+            aux = {"mse": mse, "pearson_loss": pearson_loss}
+            return loss, ({"encoder": enc_s, "decoder": dec_s}, aux)
+
+        return loss_fn
+
+    # ---- training (unet.py:388-529) ----------------------------------------
+    def train(
+        self,
+        input_variables,
+        output_variable,
+        training_ds,
+        testing_ds,
+        model_path="",
+        training_paths="",
+        testing_paths="",
+        mask_variable_name=None,
+    ):
+        train_ds = ArrayDataset(
+            training_ds,
+            input_variables,
+            output_variable,
+            normalise_in=self.normalise_input,
+            normalise_out=self.normalise_output,
+            mask_variable_name=mask_variable_name,
+        )
+        self.set_input_spec(train_ds.get_input_spec())
+        self.set_output_spec(train_ds.get_output_spec())
+        self.normalisation_parameters = train_ds.get_normalisation_parameters()
+
+        test_ds = ArrayDataset(
+            testing_ds,
+            input_variables,
+            output_variable,
+            normalise_in=self.normalise_input,
+            normalise_out=self.normalise_output,
+            mask_variable_name=mask_variable_name,
+        )
+        test_ds.set_normalisation_parameters(self.normalisation_parameters)
+
+        self.input_shape = train_ds.get_input_shape()
+        self.output_shape = train_ds.get_output_shape()
+
+        if not self.spec:
+            (input_chan, input_y, input_x) = self.input_shape
+            (output_chan, output_y, output_x) = self.output_shape
+            self.spec = create_model_spec(
+                input_size=(input_y, input_x),
+                input_channels=input_chan,
+                output_size=(output_y, output_x),
+                output_channels=output_chan,
+                kernel_size=self.conv_kernel_size,
+                stride=self.conv_stride,
+                input_layer_count=self.conv_input_layer_count,
+                output_layer_count=self.conv_output_layer_count,
+            )
+
+        if self.encoder is None or self.params is None:
+            self._build_modules()
+            self._init_params(jax.random.PRNGKey(int(time.time_ns()) % (2**31)))
+
+        print(f"Running on device: {jax.devices()[0].platform}")
+        start = time.time()
+
+        x_tr, y_tr, m_tr = train_ds.arrays_nhwc()
+        x_te, y_te, m_te = test_ds.arrays_nhwc()
+
+        config = TrainConfig(
+            batch_size=self.batch_size,
+            nr_epochs=self.nr_epochs,
+            test_interval=self.test_interval,
+            lr=self.lr,
+            weight_decay=self.weight_decay,
+            optimizer="adamw",
+            schedule="cosine",
+            t_max=500,
+            eta_min=self.lr,  # reference quirk: scheduler is a no-op (unet.py:459)
+        )
+        trainer = Trainer(self._make_loss_fn(), config, mesh=self.mesh)
+
+        def log_fn(epoch, train_loss, test_loss, train_aux, test_aux, lr):
+            print(
+                f"epoch: {epoch}, train_mse: {train_aux['mse']:.6f}, "
+                f"train_pearson_loss: {train_aux['pearson_loss']:.4f}, "
+                f"test_mse: {test_aux['mse']:.6f}, "
+                f"test_pearson_loss: {test_aux['pearson_loss']:.4f}"
+            )
+            print(f"learn rate: {lr:.6f}")
+
+        params, state = self.params, self.state
+        train_loss = test_loss = 0.0
+        try:
+            params, state, train_loss, test_loss = trainer.fit(
+                self.params,
+                self.state,
+                {"x": x_tr, "y": y_tr, "m": m_tr},
+                {"x": x_te, "y": y_te, "m": m_te},
+                self.history,
+                log_fn=log_fn,
+            )
+        except KeyboardInterrupt:
+            print("Training interrupted. Performing cleanup...")
+        finally:
+            elapsed = time.time() - start
+
+        self.params = jax.device_get(params)
+        self.state = jax.device_get(state)
+        self._apply_cache = {}
+
+        self.history["nr_epochs"] += self.nr_epochs
+        print("elapsed:" + str(elapsed))
+
+        if self.db:
+            self.db.add_training_result(
+                self.get_model_id(),
+                self.DB_TYPE,
+                output_variable,
+                input_variables,
+                self.summary(),
+                model_path,
+                training_paths,
+                train_loss,
+                testing_paths,
+                test_loss,
+                self.get_parameters(),
+                self.spec.save(),
+            )
+        if model_path:
+            self.save(model_path)
+
+        metrics = {}
+        metrics["test"] = self.evaluate(test_ds)
+        metrics["train"] = self.evaluate(train_ds)
+        self.dump_metrics("Test Metrics", metrics["test"])
+        self.dump_metrics("Train Metrics", metrics["train"])
+
+        if self.db:
+            self.db.add_evaluation_result(
+                self.get_model_id(), training_paths, testing_paths, metrics
+            )
+
+    def summary(self):
+        if self.spec:
+            s = "Model Summary:\n"
+            for input_spec in self.spec.input_layers:
+                s += str(input_spec)
+            s += "\tFully Connected Layer:\n"
+            s += f"\t\tsize={self.fc_size}\n"
+            s += "\tLatent Vector:\n"
+            s += f"\t\tsize={self.encoded_dim_size}\n"
+            s += "\tFully Connected Layer:\n"
+            s += f"\t\tsize={self.fc_size}\n"
+            for output_spec in self.spec.output_layers:
+                s += str(output_spec)
+            return s
+        return "Model has not been trained - no layers assigned yet"
+
+    # ---- persistence -------------------------------------------------------
+    def save(self, to_folder):
+        os.makedirs(to_folder, exist_ok=True)
+        torchio.save_state_dict(
+            os.path.join(to_folder, "encoder.weights"),
+            torchio.flatten_pytree(
+                {"params": self.params["encoder"], "state": self.state["encoder"]}
+            ),
+        )
+        torchio.save_state_dict(
+            os.path.join(to_folder, "decoder.weights"),
+            torchio.flatten_pytree(
+                {"params": self.params["decoder"], "state": self.state["decoder"]}
+            ),
+        )
+        with open(os.path.join(to_folder, "normalisation.weights"), "w") as f:
+            f.write(json.dumps(self.normalisation_parameters))
+        with open(os.path.join(to_folder, "parameters.json"), "w") as f:
+            f.write(json.dumps(self.get_parameters()))
+        with open(os.path.join(to_folder, "spec.json"), "w") as f:
+            f.write(json.dumps(self.spec.save()))
+        with open(os.path.join(to_folder, "history.json"), "w") as f:
+            f.write(json.dumps(self.history))
+        with open(os.path.join(to_folder, "summary.txt"), "w") as f:
+            f.write(self.summary())
+        super().save(to_folder)
+
+    def load(self, from_folder):
+        with open(os.path.join(from_folder, "normalisation.weights")) as f:
+            self.normalisation_parameters = json.loads(f.read())
+        with open(os.path.join(from_folder, "parameters.json")) as f:
+            parameters = json.loads(f.read())
+            if "model_id" in parameters:
+                self.set_model_id(parameters["model_id"])
+            self.input_shape = tuple(parameters["input_shape"])
+            self.output_shape = tuple(parameters["output_shape"])
+            self.batch_size = parameters["batch_size"]
+            self.test_interval = parameters["test_interval"]
+            self.encoded_dim_size = parameters["encoded_dim_size"]
+            self.fc_size = parameters["fc_size"]
+            self.lr = parameters["lr"]
+            self.weight_decay = parameters["weight_decay"]
+            self.dropout_rate = parameters.get("dropout_rate", 0.1)
+            self.lambda_pearson = parameters.get("lambda_pearson", 1)
+            self.normalise_input = parameters["normalise_input"]
+            self.normalise_output = parameters["normalise_output"]
+            self.conv_kernel_size = parameters.get("conv_kernel_size", None)
+            self.conv_stride = parameters.get("conv_stride", None)
+            self.conv_input_layer_count = parameters.get(
+                "conv_input_layer_count", None
+            )
+            self.conv_output_layer_count = parameters.get(
+                "conv_output_layer_count", None
+            )
+        with open(os.path.join(from_folder, "history.json")) as f:
+            self.history = json.loads(f.read())
+        with open(os.path.join(from_folder, "spec.json")) as f:
+            self.spec = ModelSpec()
+            self.spec.load(json.loads(f.read()))
+
+        self._build_modules()
+        enc = torchio.unflatten_pytree(
+            torchio.load_state_dict(os.path.join(from_folder, "encoder.weights"))
+        )
+        dec = torchio.unflatten_pytree(
+            torchio.load_state_dict(os.path.join(from_folder, "decoder.weights"))
+        )
+        self.params = {"encoder": enc["params"], "decoder": dec["params"]}
+        self.state = {"encoder": enc["state"], "decoder": dec["state"]}
+        self._apply_cache = {}
+        super().load(from_folder)

@@ -1,0 +1,216 @@
+"""Variational convolutional autoencoder.
+
+The reference's ``VarAEModel`` source file is missing from the upstream
+snapshot; this class is rebuilt from its surviving call-site contract
+(SURVEY.md §2.11): dispatched on ``parameters["type"] == "VarAEModel"``
+(``model_evaluator.py:74-75``), trained by ``--method var`` — the CLI
+*default* (``cli/train_cae.py:42-43``) — with loss knobs ``--lambda-mse``,
+``--lambda-kl``, ``--lambda-ssim`` (``cli/train_cae.py:32-36``), MS-SSIM via
+pytorch_msssim (``README.md:29``), and the same model-folder lifecycle as the
+other models.
+
+Architecture: ConvEncoder trunk emitting (mu, logvar) heads, reparameterised
+latent, ConvDecoder as in the plain CAE.  Loss =
+``lambda_mse*MSE + lambda_kl*KL(q||N(0,I)) + lambda_ssim*(1 - MS-SSIM)``
+computed on normalised outputs (data_range 1).  Apply/score use the
+posterior mean (deterministic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import ArrayDataset
+from ..nn import modules as M
+from ..nn import torchio
+from ..ops import msssim as msssim_ops
+from ..train.loop import TrainConfig, Trainer
+from .conv_ae_model import ConvAEModel
+from .sizer import ModelSpec, create_model_spec
+
+
+class VarAEModel(ConvAEModel):
+    MODEL_TYPE = "VarAEModel"
+    DB_TYPE = "VarAE"
+
+    def __init__(
+        self,
+        normalise_input=True,
+        normalise_output=True,
+        batch_size=10,
+        nr_epochs=500,
+        test_interval=10,
+        encoded_dim_size=32,
+        fc_size=128,
+        lr=0.001,
+        weight_decay=1e-5,
+        use_gpu=True,
+        conv_kernel_size=3,
+        conv_stride=2,
+        conv_input_layer_count=None,
+        conv_output_layer_count=None,
+        database_path=None,
+        lambda_mse=1.0,
+        lambda_kl=1.0,
+        lambda_ssim=1.0,
+    ):
+        super().__init__(
+            normalise_input=normalise_input,
+            normalise_output=normalise_output,
+            batch_size=batch_size,
+            nr_epochs=nr_epochs,
+            test_interval=test_interval,
+            encoded_dim_size=encoded_dim_size,
+            fc_size=fc_size,
+            lr=lr,
+            weight_decay=weight_decay,
+            use_gpu=use_gpu,
+            conv_kernel_size=conv_kernel_size,
+            conv_stride=conv_stride,
+            conv_input_layer_count=conv_input_layer_count,
+            conv_output_layer_count=conv_output_layer_count,
+            database_path=database_path,
+        )
+        self.lambda_mse = lambda_mse
+        self.lambda_kl = lambda_kl
+        self.lambda_ssim = lambda_ssim
+
+    def get_parameters(self):
+        parameters = super().get_parameters()
+        parameters["type"] = self.MODEL_TYPE
+        parameters["lambda_mse"] = self.lambda_mse
+        parameters["lambda_kl"] = self.lambda_kl
+        parameters["lambda_ssim"] = self.lambda_ssim
+        return parameters
+
+    def _load_parameters(self, parameters):
+        super()._load_parameters(parameters)
+        self.lambda_mse = parameters.get("lambda_mse", 1.0)
+        self.lambda_kl = parameters.get("lambda_kl", 1.0)
+        self.lambda_ssim = parameters.get("lambda_ssim", 1.0)
+
+    # ---- module construction ----------------------------------------------
+    def _build_modules(self):
+        self.encoder = M.VarAEEncoder(
+            self.spec.get_input_layers(), self.encoded_dim_size, self.fc_size
+        )
+        self.decoder = M.ConvDecoder(
+            self.spec.get_output_layers(), self.encoded_dim_size, self.fc_size
+        )
+
+    def _forward_eval(self, x):
+        (mu, _logvar), _ = self.encoder.apply(
+            self.params["encoder"], self.state["encoder"], x, train=False
+        )
+        y, _ = self.decoder.apply(
+            self.params["decoder"], self.state["decoder"], mu, train=False
+        )
+        return y
+
+    def _min_output_hw(self):
+        _, oy, ox = self.output_shape
+        return min(oy, ox)
+
+    def _make_loss_fn(self):
+        encoder, decoder = self.encoder, self.decoder
+        lambda_mse = self.lambda_mse
+        lambda_kl = self.lambda_kl
+        lambda_ssim = self.lambda_ssim
+        # MS-SSIM needs >= 11 * 2^(levels-1) pixels per side; drop scales on
+        # small outputs, fall back to plain SSIM / skip below the window size
+        min_hw = self._min_output_hw()
+        levels = 0
+        for lv in range(5, 0, -1):
+            if min_hw // (2 ** (lv - 1)) >= 11:
+                levels = lv
+                break
+        if levels >= 2:
+            weights = msssim_ops.MSSSIM_WEIGHTS[:levels]
+            weights = tuple(w / sum(weights) for w in weights)
+            ssim_term = lambda out, y: 1.0 - msssim_ops.msssim(
+                out, y, data_range=1.0, weights=weights
+            )
+        elif levels == 1:
+            ssim_term = lambda out, y: 1.0 - msssim_ops.ssim(out, y, data_range=1.0)
+        else:
+            ssim_term = lambda out, y: 0.0
+
+        def loss_fn(params, state, rng, batch, train):
+            (mu, logvar), enc_s = encoder.apply(
+                params["encoder"], state["encoder"], batch["x"], train
+            )
+            z = M.reparameterize(rng, mu, logvar) if train else mu
+            out, dec_s = decoder.apply(
+                params["decoder"], state["decoder"], z, train
+            )
+            w = batch["w"]
+            wsum = jnp.maximum(jnp.sum(w), 1.0)
+            per_mse = jnp.mean((out - batch["y"]) ** 2, axis=(1, 2, 3))
+            mse = jnp.sum(per_mse * w) / wsum
+            per_kl = -0.5 * jnp.sum(
+                1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1
+            )
+            kl = jnp.sum(per_kl * w) / wsum
+            ssim_loss = ssim_term(out, batch["y"])
+            loss = lambda_mse * mse + lambda_kl * kl + lambda_ssim * ssim_loss
+            aux = {"mse": mse, "kl": kl, "ssim_loss": ssim_loss}
+            return loss, ({"encoder": enc_s, "decoder": dec_s}, aux)
+
+        return loss_fn
+
+    # ---- persistence -------------------------------------------------------
+    def save(self, to_folder):
+        os.makedirs(to_folder, exist_ok=True)
+        torchio.save_state_dict(
+            os.path.join(to_folder, "encoder.weights"),
+            torchio.var_encoder_to_state_dict(
+                self.encoder, self.params["encoder"], self.state["encoder"]
+            ),
+        )
+        torchio.save_state_dict(
+            os.path.join(to_folder, "decoder.weights"),
+            torchio.conv_decoder_to_state_dict(
+                self.decoder, self.params["decoder"], self.state["decoder"]
+            ),
+        )
+        with open(os.path.join(to_folder, "normalisation.weights"), "w") as f:
+            f.write(json.dumps(self.normalisation_parameters))
+        with open(os.path.join(to_folder, "parameters.json"), "w") as f:
+            f.write(json.dumps(self.get_parameters()))
+        with open(os.path.join(to_folder, "spec.json"), "w") as f:
+            f.write(json.dumps(self.spec.save()))
+        with open(os.path.join(to_folder, "history.json"), "w") as f:
+            f.write(json.dumps(self.history))
+        with open(os.path.join(to_folder, "summary.txt"), "w") as f:
+            f.write(self.summary())
+        # skip ConvAEModel.save (different encoder format); write base specs
+        from .base import BaseModel
+
+        BaseModel.save(self, to_folder)
+
+    def load(self, from_folder):
+        with open(os.path.join(from_folder, "normalisation.weights")) as f:
+            self.normalisation_parameters = json.loads(f.read())
+        with open(os.path.join(from_folder, "parameters.json")) as f:
+            self._load_parameters(json.loads(f.read()))
+        with open(os.path.join(from_folder, "history.json")) as f:
+            self.history = json.loads(f.read())
+        with open(os.path.join(from_folder, "spec.json")) as f:
+            self.spec = ModelSpec()
+            self.spec.load(json.loads(f.read()))
+        self._build_modules()
+        enc_sd = torchio.load_state_dict(os.path.join(from_folder, "encoder.weights"))
+        enc_p, enc_s = torchio.var_encoder_from_state_dict(self.encoder, enc_sd)
+        dec_sd = torchio.load_state_dict(os.path.join(from_folder, "decoder.weights"))
+        dec_p, dec_s = torchio.conv_decoder_from_state_dict(self.decoder, dec_sd)
+        self.params = {"encoder": enc_p, "decoder": dec_p}
+        self.state = {"encoder": enc_s, "decoder": dec_s}
+        self._apply_cache = {}
+        from .base import BaseModel
+
+        BaseModel.load(self, from_folder)

@@ -303,6 +303,64 @@ def linear_from_state_dict(module, sd) -> dict:
     }
 
 
+def var_encoder_to_state_dict(module, params, state) -> dict:
+    """VarAEEncoder pytree -> state dict.
+
+    The reference's VarAEModel source is missing upstream (SURVEY.md §2.11);
+    this format reuses the reference Encoder key naming for the shared conv
+    trunk + first FC (``encoder_cnn.*``, ``encoder_lin.0.*``) and adds
+    ``fc_mu.*`` / ``fc_logvar.*`` torch-Linear-layout heads.
+    """
+    sd = {}
+    for i, (cp, bp, bs) in enumerate(
+        zip(params["convs"], params["bns"], state["bns"])
+    ):
+        sd[f"encoder_cnn.{3*i}.weight"] = conv_w_to_torch(cp["w"])
+        sd[f"encoder_cnn.{3*i}.bias"] = np.asarray(cp["b"])
+        _bn_to_sd(sd, f"encoder_cnn.{3*i+1}", bp, bs)
+    c, y, x = module.layers[-1].get_output_dimensions()
+    sd["encoder_lin.0.weight"] = fc_in_to_torch(params["fc1"]["w"], (c, y, x))
+    sd["encoder_lin.0.bias"] = np.asarray(params["fc1"]["b"])
+    sd["fc_mu.weight"] = plain_fc_to_torch(params["fc_mu"]["w"])
+    sd["fc_mu.bias"] = np.asarray(params["fc_mu"]["b"])
+    sd["fc_logvar.weight"] = plain_fc_to_torch(params["fc_logvar"]["w"])
+    sd["fc_logvar.bias"] = np.asarray(params["fc_logvar"]["b"])
+    return sd
+
+
+def var_encoder_from_state_dict(module, sd) -> tuple:
+    params = {"convs": [], "bns": []}
+    state = {"bns": []}
+    for i in range(len(module.layers)):
+        params["convs"].append(
+            {
+                "w": conv_w_from_torch(sd[f"encoder_cnn.{3*i}.weight"]).astype(
+                    np.float32
+                ),
+                "b": sd[f"encoder_cnn.{3*i}.bias"].astype(np.float32),
+            }
+        )
+        bp, bs = _bn_from_sd(sd, f"encoder_cnn.{3*i+1}")
+        params["bns"].append(bp)
+        state["bns"].append(bs)
+    c, y, x = module.layers[-1].get_output_dimensions()
+    params["fc1"] = {
+        "w": fc_in_from_torch(sd["encoder_lin.0.weight"], (c, y, x)).astype(
+            np.float32
+        ),
+        "b": sd["encoder_lin.0.bias"].astype(np.float32),
+    }
+    params["fc_mu"] = {
+        "w": plain_fc_from_torch(sd["fc_mu.weight"]).astype(np.float32),
+        "b": sd["fc_mu.bias"].astype(np.float32),
+    }
+    params["fc_logvar"] = {
+        "w": plain_fc_from_torch(sd["fc_logvar.weight"]).astype(np.float32),
+        "b": sd["fc_logvar.bias"].astype(np.float32),
+    }
+    return params, state
+
+
 # --------------------------------------------------------------------------
 # generic pytree <-> flat state dict (for modules with no reference format:
 # UNet with skip projections, VarAE heads)

@@ -1,0 +1,184 @@
+"""CLI end-to-end tests: the reference's shell-loop cycle
+(``test/cli/test_cli.sh:12-33``) made assertive — per method: train ->
+apply(train+test) -> evaluate(html) -> continue-training -> re-apply,
+with the sqlite tracker exercised."""
+
+import json
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+from cae_tools_tpu.cli import apply_cae, evaluate_cae, query_database, train_cae
+from cae_tools_tpu.xrcompat import xr
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    from cae_tools_tpu.data.datagen import generate_spec_files
+
+    root = str(tmp_path_factory.mktemp("clidata"))
+    folder = generate_spec_files("circle", root, n=12, seed=42)
+    return folder
+
+
+@pytest.mark.parametrize("method", ["linear", "conv", "var"])
+def test_cli_cycle(method, data, tmp_path):
+    train_nc = os.path.join(data, "train.nc")
+    test_nc = os.path.join(data, "test.nc")
+    model_folder = str(tmp_path / f"model_{method}")
+    db_path = str(tmp_path / "models.db")
+
+    base_args = [
+        "--train-inputs", train_nc,
+        "--test-inputs", test_nc,
+        "--model-folder", model_folder,
+        "--input-variables", "lowres",
+        "--output-variable", "hires",
+        "--nr-epochs", "4",
+        "--batch-size", "6",
+        "--latent-size", "4",
+        "--fc-size", "16",
+        "--database-path", db_path,
+        "--method", method,
+    ]
+    train_cae.main(base_args)
+
+    assert os.path.exists(os.path.join(model_folder, "parameters.json"))
+    params = json.loads(open(os.path.join(model_folder, "parameters.json")).read())
+    expected_type = {
+        "linear": "LinearModel",
+        "conv": "ConvAEModel",
+        "var": "VarAEModel",
+    }[method]
+    assert params["type"] == expected_type
+
+    # apply to train + test
+    scored_train = str(tmp_path / "scored_train.nc")
+    scored_test = str(tmp_path / "scored_test.nc")
+    apply_cae.main([train_nc, scored_train, "--model-folder", model_folder])
+    apply_cae.main([test_nc, scored_test, "--model-folder", model_folder])
+    ds = xr.open_dataset(scored_test)
+    assert "model_output" in ds
+    assert ds["model_output"].shape == (12, 1, 256, 256)
+
+    # evaluate -> html report
+    html_folder = str(tmp_path / "html")
+    evaluate_cae.main(
+        [
+            "--train-inputs", scored_train,
+            "--test-inputs", scored_test,
+            "--model-folder", model_folder,
+            "--output-html-folder", html_folder,
+            "--prediction-variable", "model_output",
+            "--database-path", db_path,
+        ]
+    )
+    index = os.path.join(html_folder, "index.html")
+    assert os.path.exists(index)
+    html = open(index).read()
+    assert "Model Metrics" in html
+    assert "Training Parameters" in html
+    assert "data:image/png" in html  # inlined histograms/plots
+
+    # continue training: history accumulates
+    train_cae.main(base_args + ["--continue-training"])
+    history = json.loads(open(os.path.join(model_folder, "history.json")).read())
+    assert history["nr_epochs"] == 8
+
+    # re-apply after retrain
+    apply_cae.main([test_nc, scored_test, "--model-folder", model_folder])
+
+    # tracker rows: 2 training runs + >=1 evaluation rows for this model
+    conn = sqlite3.connect(db_path)
+    n_train = conn.execute(
+        "SELECT COUNT(*) FROM MODEL_TRAINING WHERE model_id=?",
+        [params["model_id"]],
+    ).fetchone()[0]
+    assert n_train == 2
+    n_eval = conn.execute(
+        "SELECT COUNT(*) FROM MODEL_EVALUATIONS WHERE model_id=?",
+        [params["model_id"]],
+    ).fetchone()[0]
+    assert n_eval >= 2
+
+    # query_database dumps without crashing (both modes)
+    query_database.main([db_path])
+    query_database.main([db_path, "--model-id", params["model_id"]])
+
+
+def test_cli_apply_inconsistent_inputs_rejected(data, tmp_path):
+    train_nc = os.path.join(data, "train.nc")
+    test_nc = os.path.join(data, "test.nc")
+    model_folder = str(tmp_path / "model_lin")
+    train_cae.main(
+        [
+            "--train-inputs", train_nc,
+            "--test-inputs", test_nc,
+            "--model-folder", model_folder,
+            "--input-variables", "lowres",
+            "--output-variable", "hires",
+            "--nr-epochs", "2",
+            "--batch-size", "6",
+            "--method", "linear",
+        ]
+    )
+    with pytest.raises(SystemExit):
+        apply_cae.main(
+            [
+                test_nc,
+                str(tmp_path / "out.nc"),
+                "--model-folder", model_folder,
+                "--input-variables", "hires",
+            ]
+        )
+
+
+def test_cli_unhandled_method_fails_fast(data, tmp_path):
+    with pytest.raises(SystemExit):
+        train_cae.main(
+            [
+                "--train-inputs", os.path.join(data, "train.nc"),
+                "--test-inputs", os.path.join(data, "test.nc"),
+                "--model-folder", str(tmp_path / "m"),
+                "--input-variables", "lowres",
+                "--output-variable", "hires",
+                "--method", "resunet_gan",
+            ]
+        )
+
+
+def test_cli_layer_definitions_path(data, tmp_path):
+    """Externally-authored architecture JSON (cli/train_cae.py:143-147)."""
+    from cae_tools_tpu.models.sizer import create_model_spec
+
+    spec = create_model_spec(
+        input_size=(16, 16), input_channels=1, output_size=(256, 256),
+        output_channels=1, input_layer_count=1,
+    )
+    spec_path = str(tmp_path / "layers.json")
+    with open(spec_path, "w") as f:
+        f.write(json.dumps(spec.save()))
+
+    model_folder = str(tmp_path / "model_custom")
+    train_cae.main(
+        [
+            "--train-inputs", os.path.join(data, "train.nc"),
+            "--test-inputs", os.path.join(data, "test.nc"),
+            "--model-folder", model_folder,
+            "--input-variables", "lowres",
+            "--output-variable", "hires",
+            "--nr-epochs", "2",
+            "--batch-size", "6",
+            "--latent-size", "4",
+            "--fc-size", "16",
+            "--method", "conv",
+            "--layer-definitions-path", spec_path,
+            "--model-id", "my-custom-id",
+        ]
+    )
+    saved_spec = json.loads(open(os.path.join(model_folder, "spec.json")).read())
+    assert len(saved_spec["input_layers"]) == 1
+    params = json.loads(open(os.path.join(model_folder, "parameters.json")).read())
+    assert params["model_id"] == "my-custom-id"

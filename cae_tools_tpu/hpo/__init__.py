@@ -1,0 +1,1 @@
+from .optim import HyperOptimizer, default_search_space  # noqa: F401

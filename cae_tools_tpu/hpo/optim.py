@@ -1,0 +1,290 @@
+"""Hyperparameter optimisation driver.
+
+Parity surface: the reference's ``hypar_optim.py`` — an Optuna TPE study that
+shells out to ``train_cae`` per trial (``hypar_optim.py:47-76``), regex-scrapes
+the final ``test_mse:`` from stdout (``:82-89``), minimises it, prunes failed
+trials (``:91-93``) and appends JSON logs (``:96-102``).
+
+TPU-first redesign:
+
+ * **in-process mode (default)** — trials construct the model directly and
+   read the loss from its history.  This keeps one JAX process alive across
+   trials, so XLA compile caches are shared between trials with identical
+   shapes; on the tunneled-TPU environment a fresh process pays a
+   100-300s compile warmup, making subprocess-per-trial (the reference's
+   design) pathologically slow on TPU.
+ * **subprocess mode** — exact reference behavior (CLI + stdout scrape),
+   kept for parity; the scraped ``test_mse:`` stdout format is load-bearing.
+ * sampler: Optuna (TPE) when installed; otherwise a built-in seeded
+   random-search sampler with the same space definition, since this
+   environment does not ship optuna.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import re
+import subprocess
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+
+def default_search_space():
+    """The reference study's 13-knob space (``hypar_optim.py:8-25``)."""
+    return {
+        "latent_size": ("int_pow2", 4, 256),
+        "fc_size": ("int_pow2", 16, 1024),
+        "batch_size": ("int", 4, 32),
+        "learning_rate": ("loguniform", 1e-5, 1e-2),
+        "weight_decay": ("loguniform", 1e-7, 1e-3),
+        "dropout_rate": ("uniform", 0.0, 0.5),
+        "lambda_pearson": ("uniform", 0.0, 2.0),
+        "kernel_size": ("int_odd", 3, 7),
+        "stride": ("int", 1, 3),
+        "nr_epochs": ("fixed", 100),
+        "input_layer_count": ("fixed", None),
+        "output_layer_count": ("fixed", None),
+        "method": ("fixed", "unet"),
+    }
+
+
+class _RandomTrial:
+    """Minimal optuna.Trial-alike for the fallback sampler."""
+
+    def __init__(self, number: int, rng: random.Random):
+        self.number = number
+        self.rng = rng
+        self.params = {}
+
+    def suggest(self, name, spec):
+        kind = spec[0]
+        if kind == "fixed":
+            value = spec[1]
+        elif kind == "int":
+            value = self.rng.randint(spec[1], spec[2])
+        elif kind == "int_odd":
+            value = self.rng.choice(range(spec[1], spec[2] + 1, 2))
+        elif kind == "int_pow2":
+            lo, hi = spec[1], spec[2]
+            choices = []
+            v = lo
+            while v <= hi:
+                choices.append(v)
+                v *= 2
+            value = self.rng.choice(choices)
+        elif kind == "uniform":
+            value = self.rng.uniform(spec[1], spec[2])
+        elif kind == "loguniform":
+            import math
+
+            value = math.exp(
+                self.rng.uniform(math.log(spec[1]), math.log(spec[2]))
+            )
+        else:
+            raise ValueError(f"unknown spec kind {kind}")
+        self.params[name] = value
+        return value
+
+
+class TrialPruned(Exception):
+    pass
+
+
+@dataclass
+class HyperOptimizer:
+    """Search driver minimising test MSE over a hyperparameter space."""
+
+    train_inputs: list
+    test_inputs: list
+    input_variables: list
+    output_variable: str
+    work_folder: str
+    search_space: dict = field(default_factory=default_search_space)
+    mode: str = "inproc"  # "inproc" | "subprocess"
+    seed: int = 0
+    log_path: Optional[str] = None
+    constraints: Optional[Callable] = None
+
+    def _sample(self, trial) -> dict:
+        params = {}
+        for name, spec in self.search_space.items():
+            if hasattr(trial, "suggest"):
+                params[name] = trial.suggest(name, spec)
+            else:  # optuna trial
+                kind = spec[0]
+                if kind == "fixed":
+                    params[name] = spec[1]
+                elif kind == "int":
+                    params[name] = trial.suggest_int(name, spec[1], spec[2])
+                elif kind == "int_odd":
+                    params[name] = trial.suggest_int(name, spec[1], spec[2], step=2)
+                elif kind == "int_pow2":
+                    choices = []
+                    v = spec[1]
+                    while v <= spec[2]:
+                        choices.append(v)
+                        v *= 2
+                    params[name] = trial.suggest_categorical(name, choices)
+                elif kind == "uniform":
+                    params[name] = trial.suggest_float(name, spec[1], spec[2])
+                elif kind == "loguniform":
+                    params[name] = trial.suggest_float(
+                        name, spec[1], spec[2], log=True
+                    )
+        # reference constraint: latent <= fc (hypar_optim.py:8-25)
+        if "latent_size" in params and "fc_size" in params:
+            if params["latent_size"] > params["fc_size"]:
+                params["latent_size"] = params["fc_size"]
+        if self.constraints:
+            self.constraints(params)
+        return params
+
+    # ------------------------------------------------------------------
+    def objective(self, trial) -> float:
+        params = self._sample(trial)
+        number = getattr(trial, "number", 0)
+        model_folder = f"{self.work_folder}/trial_{number}"
+        start = time.time()
+        try:
+            if self.mode == "subprocess":
+                test_mse = self._run_subprocess(params, model_folder)
+            else:
+                test_mse = self._run_inproc(params, model_folder)
+        except TrialPruned:
+            raise
+        except Exception as e:
+            self._log(
+                {"trial": number, "params": params, "error": str(e)}
+            )
+            raise TrialPruned(str(e))
+        elapsed = time.time() - start
+        self._log(
+            {
+                "trial": number,
+                "params": params,
+                "test_mse": test_mse,
+                "elapsed": elapsed,
+            }
+        )
+        return test_mse
+
+    def _cli_args(self, params, model_folder):
+        args = [
+            "--train-inputs", *self.train_inputs,
+            "--test-inputs", *self.test_inputs,
+            "--model-folder", model_folder,
+            "--input-variables", *self.input_variables,
+            "--output-variable", self.output_variable,
+            "--method", str(params.get("method", "unet")),
+            "--nr-epochs", str(params.get("nr_epochs", 100)),
+            "--batch-size", str(params.get("batch_size", 10)),
+            "--latent-size", str(params.get("latent_size", 32)),
+            "--fc-size", str(params.get("fc_size", 128)),
+            "--learning-rate", str(params.get("learning_rate", 1e-3)),
+            "--weight-decay", str(params.get("weight_decay", 1e-5)),
+            "--dropout-rate", str(params.get("dropout_rate", 0.1)),
+            "--lambda-pearson", str(params.get("lambda_pearson", 1.0)),
+            "--kernel-size", str(params.get("kernel_size", 3)),
+            "--stride", str(params.get("stride", 2)),
+        ]
+        if params.get("input_layer_count"):
+            args += ["--input-layer-count", str(params["input_layer_count"])]
+        if params.get("output_layer_count"):
+            args += ["--output-layer-count", str(params["output_layer_count"])]
+        return args
+
+    def _run_subprocess(self, params, model_folder) -> float:
+        """Reference behavior: run train_cae CLI, scrape last test_mse."""
+        cmd = [sys.executable, "-m", "cae_tools_tpu.cli.train_cae"] + self._cli_args(
+            params, model_folder
+        )
+        try:
+            output = subprocess.check_output(
+                cmd, stderr=subprocess.STDOUT, text=True
+            )
+        except subprocess.CalledProcessError as e:
+            raise TrialPruned(f"train_cae failed: {e.output[-2000:]}")
+        matches = re.findall(r"test_mse: ([0-9.e+-]+)", output)
+        if not matches:
+            # conv/linear print "%5d %.6f %.6f" instead; use the last column
+            rows = re.findall(r"^\s*\d+ [0-9.]+ ([0-9.]+)\s*$", output, re.M)
+            if not rows:
+                raise TrialPruned("no test loss found in train_cae output")
+            return float(rows[-1])
+        return float(matches[-1])
+
+    def _run_inproc(self, params, model_folder) -> float:
+        """TPU-friendly: build + train in this process, read the history."""
+        from ..cli.common import broadcast_scalar_vars, open_inputs
+        from ..cli.train_cae import build_model, build_parser
+
+        args = build_parser().parse_args(
+            self._cli_args(params, model_folder)
+        )
+        train_ds = open_inputs(args.train_inputs)
+        test_ds = open_inputs(args.test_inputs)
+        case_dimension = train_ds[args.output_variable].dims[0]
+        broadcast_scalar_vars(train_ds, args.input_variables, case_dimension)
+        broadcast_scalar_vars(test_ds, args.input_variables, case_dimension)
+        mt = build_model(args)
+        mt.train(
+            args.input_variables,
+            args.output_variable,
+            training_ds=train_ds,
+            testing_ds=test_ds,
+            model_path=model_folder,
+        )
+        if not mt.history["test_loss"]:
+            raise TrialPruned("no test loss recorded")
+        return float(mt.history["test_loss"][-1])
+
+    def _log(self, record):
+        if self.log_path:
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+    # ------------------------------------------------------------------
+    def run(self, n_trials: int = 50, storage: Optional[str] = None):
+        """Run the study; returns (best_params, best_value, all_results)."""
+        try:  # pragma: no cover - optuna not present in this environment
+            import optuna
+
+            sampler = optuna.samplers.TPESampler(seed=self.seed)
+            study = optuna.create_study(
+                sampler=sampler, direction="minimize", storage=storage
+            )
+
+            def objective(trial):
+                try:
+                    return self.objective(trial)
+                except TrialPruned as e:
+                    raise optuna.TrialPruned(str(e))
+
+            study.optimize(objective, n_trials=n_trials)
+            results = [
+                {"number": t.number, "value": t.value, "params": t.params}
+                for t in study.trials
+            ]
+            return study.best_params, study.best_value, results
+        except ModuleNotFoundError:
+            pass
+
+        rng = random.Random(self.seed)
+        results = []
+        best_params, best_value = None, float("inf")
+        for i in range(n_trials):
+            trial = _RandomTrial(i, rng)
+            try:
+                value = self.objective(trial)
+            except TrialPruned as e:
+                results.append(
+                    {"number": i, "value": None, "params": trial.params, "pruned": str(e)}
+                )
+                continue
+            results.append({"number": i, "value": value, "params": trial.params})
+            if value < best_value:
+                best_params, best_value = dict(trial.params), value
+        return best_params, best_value, results

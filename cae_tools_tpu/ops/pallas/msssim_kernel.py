@@ -1,0 +1,181 @@
+"""Fused SSIM / MS-SSIM Pallas (Mosaic) kernel.
+
+The XLA implementation (`ops/msssim.py`) launches 10 depthwise 1-D convs per
+scale (5 fields x 2 passes), each round-tripping an (N, H, W) intermediate
+through HBM.  This kernel fuses the whole per-scale computation — the five
+separable 11-tap Gaussian blurs (x, y, x^2, y^2, x*y), the SSIM/CS maps and
+their reductions — into a single VMEM-resident pass per image: one HBM read
+of x and y, two scalar writes.  This is the "MS-SSIM multi-scale
+Gaussian-pyramid kernel" named in BASELINE.json.
+
+Grid: one program per (batch*channel) image.  The separable blur is computed
+as statically-unrolled shifted multiply-adds on the VPU (the 11-tap loop is a
+Python loop at trace time, so Mosaic sees pure vector ops with static
+slices).  Images must fit VMEM (H*W*4B * ~8 live fields; 256x256 f32 uses
+~2 MB of the ~16 MB budget) — callers fall back to the XLA path above that.
+
+Gradients: `msssim_pallas` wraps the kernel in a ``jax.custom_vjp`` whose
+backward pass re-derives the gradient through the XLA implementation (same
+math), so the kernel accelerates inference/eval while training remains fully
+differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..msssim import MSSSIM_WEIGHTS, _avg_pool2, _gaussian_kernel
+from .. import msssim as xla_ms
+
+_WIN = 11
+_SIGMA = 1.5
+
+# VMEM budget guard: fall back to XLA above this many pixels per image
+_MAX_PIXELS = 512 * 512
+
+
+def _scale_kernel(x_ref, y_ref, ssim_ref, cs_ref, *, h, w, win, c1, c2):
+    """Compute mean SSIM and mean CS for one (h, w) image pair."""
+    x = x_ref[0]  # (h, w)
+    y = y_ref[0]
+
+    hv = h - (_WIN - 1)  # valid rows after vertical blur
+    wv = w - (_WIN - 1)  # valid cols after horizontal blur
+
+    def blur(img):
+        # horizontal pass: (h, w) -> (h, wv)
+        acc = None
+        for k in range(_WIN):
+            term = img[:, k : k + wv] * win[k]
+            acc = term if acc is None else acc + term
+        # vertical pass: (h, wv) -> (hv, wv)
+        out = None
+        for k in range(_WIN):
+            term = acc[k : k + hv, :] * win[k]
+            out = term if out is None else out + term
+        return out
+
+    mu_x = blur(x)
+    mu_y = blur(y)
+    sxx = blur(x * x) - mu_x * mu_x
+    syy = blur(y * y) - mu_y * mu_y
+    sxy = blur(x * y) - mu_x * mu_y
+
+    cs_map = (2.0 * sxy + c2) / (sxx + syy + c2)
+    ssim_map = ((2.0 * mu_x * mu_y + c1) / (mu_x * mu_x + mu_y * mu_y + c1)) * cs_map
+
+    denom = float(hv * wv)
+    ssim_ref[0, 0] = jnp.sum(ssim_map) / denom
+    cs_ref[0, 0] = jnp.sum(cs_map) / denom
+
+
+@functools.partial(jax.jit, static_argnames=("data_range", "interpret"))
+def _ssim_scale_pallas(x, y, data_range=1.0, interpret=False):
+    """Per-image (mean SSIM, mean CS) for NHWC inputs via the fused kernel."""
+    n, h, w, c = x.shape
+    # fold channels into the grid: each program handles one (h, w) plane
+    xp = jnp.transpose(x, (0, 3, 1, 2)).reshape(n * c, h, w)
+    yp = jnp.transpose(y, (0, 3, 1, 2)).reshape(n * c, h, w)
+
+    win = tuple(float(v) for v in _gaussian_kernel(_WIN, _SIGMA))
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    kernel = functools.partial(
+        _scale_kernel, h=h, w=w, win=win, c1=c1, c2=c2
+    )
+    ssim_v, cs_v = pl.pallas_call(
+        kernel,
+        grid=(n * c,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n * c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n * c, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, yp)
+    return ssim_v.reshape(n, c), cs_v.reshape(n, c)
+
+
+def _supported(x):
+    n, h, w, c = x.shape
+    return h >= _WIN and w >= _WIN and h * w <= _MAX_PIXELS
+
+
+def ssim_pallas(x, y, data_range=1.0, interpret=False):
+    """Mean SSIM via the fused kernel (XLA fallback when unsupported)."""
+    if not _supported(x):
+        return xla_ms.ssim(x, y, data_range=data_range)
+    s, _ = _ssim_scale_pallas(x, y, data_range=data_range, interpret=interpret)
+    return jnp.mean(s)
+
+
+def _msssim_fwd_impl(x, y, data_range, weights, interpret):
+    weights_arr = jnp.asarray(weights, jnp.float32)
+    levels = len(weights)
+    mcs = []
+    val = None
+    for i in range(levels):
+        s, cs = _ssim_scale_pallas(
+            x, y, data_range=data_range, interpret=interpret
+        )
+        if i < levels - 1:
+            mcs.append(jax.nn.relu(cs))
+            x = _avg_pool2(x)
+            y = _avg_pool2(y)
+        else:
+            val = jax.nn.relu(s)
+    stack = jnp.stack(mcs + [val], axis=0)
+    out = jnp.prod(stack ** weights_arr[:, None, None], axis=0)
+    return jnp.mean(out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _msssim_custom(x, y, data_range, weights, interpret):
+    return _msssim_fwd_impl(x, y, data_range, weights, interpret)
+
+
+def _msssim_vjp_fwd(x, y, data_range, weights, interpret):
+    out = _msssim_fwd_impl(x, y, data_range, weights, interpret)
+    return out, (x, y)
+
+
+def _msssim_vjp_bwd(data_range, weights, interpret, res, g):
+    x, y = res
+    # backward through the (mathematically identical) XLA implementation
+    _, vjp = jax.vjp(
+        lambda a, b: xla_ms.msssim(a, b, data_range=data_range, weights=weights),
+        x,
+        y,
+    )
+    dx, dy = vjp(g)
+    return dx, dy
+
+
+_msssim_custom.defvjp(_msssim_vjp_fwd, _msssim_vjp_bwd)
+
+
+def msssim_pallas(
+    x, y, data_range=1.0, weights=MSSSIM_WEIGHTS, interpret=False
+):
+    """Multi-scale SSIM with the fused per-scale kernel; differentiable."""
+    levels = len(weights)
+    n, h, w, c = x.shape
+    min_hw = min(h, w) // (2 ** (levels - 1))
+    if min_hw < _WIN or not _supported(x):
+        return xla_ms.msssim(x, y, data_range=data_range, weights=weights)
+    return _msssim_custom(x, y, data_range, tuple(weights), interpret)

@@ -143,6 +143,11 @@ class Trainer:
 
         train_data = self._place(train_data)
         test_data = self._place(test_data)
+        # fresh buffers: the scan carry is donated inside run_epochs, which
+        # would otherwise invalidate the caller's param arrays
+        copy = lambda a: jnp.array(a, copy=True)
+        params = jax.tree_util.tree_map(copy, params)
+        state = jax.tree_util.tree_map(copy, state)
         if self.mesh is not None:
             repl = replicated_sharding(self.mesh)
             params = jax.device_put(params, repl)

@@ -1,0 +1,117 @@
+"""Multi-device mesh tests on the virtual 8-device CPU platform:
+DP-sharded training through the Trainer, TP param placement, and
+equivalence of sharded vs single-device training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cae_tools_tpu.models import LinearModel
+from cae_tools_tpu.nn import modules as M
+from cae_tools_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    replicated_sharding,
+    shard_batch,
+    shard_params_tp,
+)
+from cae_tools_tpu.train.loop import TrainConfig, Trainer
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_mesh_shapes():
+    mesh = get_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = get_mesh(n_data=4, n_model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_shard_batch_layout():
+    mesh = get_mesh(n_data=4, n_model=2)
+    arr = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    out = shard_batch(mesh, arr)
+    assert out.sharding.spec == jax.sharding.PartitionSpec(
+        "data", *([None] * 1)
+    )
+    np.testing.assert_allclose(np.asarray(out), arr)
+    # non-divisible leading dim gets padded with repeated rows
+    out2 = shard_batch(mesh, arr[:6])
+    assert out2.shape[0] == 8
+    np.testing.assert_allclose(np.asarray(out2)[:6], arr[:6])
+
+
+def test_shard_params_tp_places_large_matrices():
+    mesh = get_mesh(n_data=4, n_model=2)
+    params = {
+        "big": np.zeros((64, 2048), np.float32),
+        "small": np.zeros((4, 4), np.float32),
+    }
+    placed = shard_params_tp(params, mesh, min_size=1 << 12)
+    specs = {
+        k: placed[k].sharding.spec for k in placed
+    }
+    assert specs["big"] == jax.sharding.PartitionSpec(None, "model")
+    assert specs["small"] == jax.sharding.PartitionSpec()
+
+
+def test_trainer_runs_on_mesh_and_matches_single_device():
+    """Same seed, same data: mesh-DP training equals single-device training."""
+    rng = np.random.default_rng(0)
+    x = rng.random((16, 4, 4, 1), dtype=np.float32)
+    y = rng.random((16, 8, 8, 1), dtype=np.float32)
+
+    lin = M.LinearMap((1, 4, 4), (1, 8, 8))
+    params0, state0 = lin.init(jax.random.PRNGKey(0))
+
+    def loss_fn(params, state, rng_, batch, train):
+        out, _ = lin.apply(params, state, batch["x"], train)
+        per = jnp.mean((out - batch["y"]) ** 2, axis=(1, 2, 3))
+        w = batch["w"]
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0), ({}, {})
+
+    cfg = TrainConfig(batch_size=8, nr_epochs=6, test_interval=3, lr=0.05, seed=7)
+
+    hist1 = {"train_loss": [], "test_loss": [], "nr_epochs": 0}
+    tr1 = Trainer(loss_fn, cfg, mesh=None)
+    p1, _, tl1, te1 = tr1.fit(params0, state0, {"x": x, "y": y}, {"x": x, "y": y}, hist1)
+
+    mesh = get_mesh(n_data=8, n_model=1)
+    hist2 = {"train_loss": [], "test_loss": [], "nr_epochs": 0}
+    tr2 = Trainer(loss_fn, cfg, mesh=mesh)
+    p2, _, tl2, te2 = tr2.fit(params0, state0, {"x": x, "y": y}, {"x": x, "y": y}, hist2)
+
+    assert hist1["train_loss"] == pytest.approx(hist2["train_loss"], rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(p1["fc"]["w"]), np.asarray(p2["fc"]["w"]), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_model_train_with_mesh(tmp_path_factory):
+    """End-to-end LinearModel.train with a mesh attached."""
+    from cae_tools_tpu.data.datagen import generate_spec_files
+    from cae_tools_tpu.xrcompat import xr
+
+    root = str(tmp_path_factory.mktemp("meshdata"))
+    folder = generate_spec_files("circle", root, n=16, seed=21)
+    train_ds = xr.open_dataset(folder + "/train.nc")
+    test_ds = xr.open_dataset(folder + "/test.nc")
+
+    mt = LinearModel(batch_size=8, nr_epochs=4, test_interval=2, lr=0.05)
+    mt.set_mesh(get_mesh(n_data=8, n_model=1))
+    mt.train(["lowres"], "hires", train_ds, test_ds)
+    assert len(mt.history["train_loss"]) == 2
+    assert np.isfinite(mt.history["train_loss"][-1])
+
+
+def test_graft_dryrun_multichip():
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -77,6 +77,10 @@ def _ssim_terms(x, y, win, data_range, k1=0.01, k2=0.03):
 
 def ssim(x, y, data_range=1.0, win_size=11, sigma=1.5):
     """Mean SSIM over the batch; NHWC inputs."""
+    if min(x.shape[1], x.shape[2]) < win_size:
+        raise ValueError(
+            f"image {x.shape[1]}x{x.shape[2]} smaller than SSIM window {win_size}"
+        )
     win = jnp.asarray(_gaussian_kernel(win_size, sigma))
     s, _ = _ssim_terms(x, y, win, data_range)
     return jnp.mean(s)
@@ -90,6 +94,13 @@ def _avg_pool2(x):
 
 def msssim(x, y, data_range=1.0, win_size=11, sigma=1.5, weights=MSSSIM_WEIGHTS):
     """Multi-scale SSIM (Wang et al. 2003), mean over batch+channels."""
+    min_hw = min(x.shape[1], x.shape[2]) // (2 ** (len(weights) - 1))
+    if min_hw < win_size:
+        raise ValueError(
+            f"image {x.shape[1]}x{x.shape[2]} too small for a "
+            f"{len(weights)}-level pyramid with window {win_size}; "
+            "pass fewer scale weights"
+        )
     win = jnp.asarray(_gaussian_kernel(win_size, sigma))
     weights = jnp.asarray(weights, jnp.float32)
     levels = weights.shape[0]

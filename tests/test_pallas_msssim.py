@@ -60,9 +60,7 @@ def test_msssim_pallas_gradient_matches():
     )
 
 
-def test_small_images_fall_back_to_xla():
-    # 32x32 supports single-scale SSIM but not the 5-level pyramid: the
-    # pallas wrapper must fall back to the XLA implementation and agree
+def test_small_images_validated_or_agree():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.uniform(size=(2, 32, 32, 1)).astype(np.float32))
     y = jnp.asarray(
@@ -70,10 +68,13 @@ def test_small_images_fall_back_to_xla():
             np.float32
         )
     )
-    ours = float(msssim_pallas(x, y, interpret=True))
-    # fallback path trims nothing: both sides must use identical scale logic
-    weights3 = (0.2, 0.3, 0.5)
-    ref = float(xla_ms.msssim(x, y, weights=weights3))
-    ours3 = float(msssim_pallas(x, y, weights=weights3, interpret=True))
-    assert ours3 == pytest.approx(ref, abs=1e-4)
-    assert np.isfinite(ours) or True  # full-pyramid on 32px falls back
+    # a 2-level pyramid fits 32px; pallas wrapper and XLA path agree
+    weights2 = (0.4, 0.6)
+    ref = float(xla_ms.msssim(x, y, weights=weights2))
+    ours2 = float(msssim_pallas(x, y, weights=weights2, interpret=True))
+    assert ours2 == pytest.approx(ref, abs=1e-4)
+    # too many levels -> clean static error, not silent NaN
+    with pytest.raises(ValueError):
+        xla_ms.msssim(x, y)  # 5 levels on 32px
+    with pytest.raises(ValueError):
+        xla_ms.ssim(jnp.zeros((1, 8, 8, 1)), jnp.zeros((1, 8, 8, 1)))

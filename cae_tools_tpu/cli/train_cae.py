@@ -166,6 +166,17 @@ def main(argv=None):
                 spec.load(json.loads(f.read()))
                 mt.spec = spec
 
+    if args.additional_loss:
+        mt.additional_loss = args.additional_loss
+        mt.lambda_additional = args.lambda_additional
+
+    if args.scheduler_type:
+        # fix-forward: the reference accepts --scheduler-type but never
+        # wires it (cli/train_cae.py:41); here it selects the LR schedule
+        mt.scheduler_type = args.scheduler_type
+        mt.lr_step_size = args.lr_step_size
+        mt.lr_gamma = args.lr_gamma
+
     start_time = time.time()
     print("Ready for training process")
     mt.train(

@@ -70,6 +70,22 @@ class BaseModel:
     def set_mesh(self, mesh):
         self.mesh = mesh
 
+    # ---- LR schedule selection (CLI --scheduler-type fix-forward:
+    # the reference parses the flag but never wires it, cli/train_cae.py:41)
+    def _schedule_kwargs(self, default_schedule="constant"):
+        torch_names = {
+            "StepLR": "step",
+            "ExponentialLR": "exponential",
+            "CosineAnnealingLR": "cosine",
+        }
+        requested = getattr(self, "scheduler_type", None)
+        schedule = torch_names.get(requested, default_schedule)
+        return {
+            "schedule": schedule,
+            "lr_step_size": getattr(self, "lr_step_size", 500),
+            "lr_gamma": getattr(self, "lr_gamma", 0.5),
+        }
+
     # ---- subclass compute hook -------------------------------------------
     def _forward_eval(self, x):
         """Pure eval-mode forward on an (B, H, W, C) batch -> (B, H', W', C')."""

@@ -192,6 +192,7 @@ class LinearModel(BaseModel):
             lr=self.lr,
             weight_decay=self.weight_decay,
             optimizer="adam_l2",
+            **self._schedule_kwargs("constant"),
         )
         trainer = Trainer(self._make_loss_fn(), config, mesh=self.mesh)
 

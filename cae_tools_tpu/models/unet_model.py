@@ -156,6 +156,16 @@ class UNET(BaseModel):
         encoder, decoder = self.encoder, self.decoder
         lambda_pearson = self.lambda_pearson
 
+        # optional perceptual term (--additional-loss perceptual); the
+        # reference instantiates VGGPerceptualLoss but never adds it to the
+        # loss (unet.py:253, SURVEY §2.9) — here the flag actually engages it
+        percep = None
+        percep_params = None
+        lambda_additional = getattr(self, "lambda_additional", 1.0)
+        if getattr(self, "additional_loss", None) == "perceptual":
+            percep = M.PerceptualFeatureLoss()
+            percep_params = percep.init(in_channels=self.output_shape[0])
+
         def loss_fn(params, state, rng, batch, train):
             r_enc, r_dec = jax.random.split(rng)
             (z, skips), enc_s = encoder.apply(
@@ -174,6 +184,10 @@ class UNET(BaseModel):
             ) / wsum
             pearson_loss = 1.0 - corr_mean
             loss = mse + lambda_pearson * pearson_loss
+            if percep is not None:
+                loss = loss + lambda_additional * percep.loss(
+                    percep_params, out, batch["y"]
+                )
             aux = {"mse": mse, "pearson_loss": pearson_loss}
             return loss, ({"encoder": enc_s, "decoder": dec_s}, aux)
 
@@ -247,9 +261,9 @@ class UNET(BaseModel):
             lr=self.lr,
             weight_decay=self.weight_decay,
             optimizer="adamw",
-            schedule="cosine",
             t_max=500,
             eta_min=self.lr,  # reference quirk: scheduler is a no-op (unet.py:459)
+            **self._schedule_kwargs("cosine"),
         )
         trainer = Trainer(self._make_loss_fn(), config, mesh=self.mesh)
 

@@ -335,6 +335,81 @@ def channel_attention_apply(params, x):
     return gate[:, None, None, :]
 
 
+def dual_channel_attention_init(rng, channels, ratio=8):
+    """Dual (global MLP x spatial 7x7) attention gate.
+
+    Parity with the reference's defined-but-unused ``DualChannelAttention``
+    (``unet.py:41-70``): a global average-pool MLP branch multiplied by a
+    sigmoid-gated 7x7 spatial conv branch; the input is scaled by the
+    combined gate.
+    """
+    hidden = max(channels // ratio, 1)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    return {
+        "fc1": tinit.kaiming_uniform_a5(r1, (channels, hidden), channels),
+        "fc2": tinit.kaiming_uniform_a5(r2, (hidden, channels), hidden),
+        "spatial": tinit.kaiming_uniform_a5(
+            r3, (7, 7, channels, 1), channels * 49
+        ),
+    }
+
+
+def dual_channel_attention_apply(params, x):
+    avg = jnp.mean(x, axis=(1, 2))  # (N, C)
+    glob = dense(jax.nn.relu(dense(avg, params["fc1"])), params["fc2"])
+    glob = jax.nn.sigmoid(glob)[:, None, None, :]
+    spatial = conv2d(x, params["spatial"], stride=1, padding=3)
+    spatial = jax.nn.sigmoid(spatial)  # (N, H, W, 1)
+    return x * (glob * spatial)
+
+
+@dataclass
+class PerceptualFeatureLoss:
+    """Feature-space MSE perceptual loss.
+
+    The reference's ``VGGPerceptualLoss`` (``unet.py:165-198``) extracts
+    torchvision VGG19 features; pretrained weights are unavailable offline,
+    so this uses a fixed *random* strided conv feature pyramid — random
+    convolutional features are a documented effective perceptual metric
+    (random-weight VGG variants) — with a hook to load external HWIO filter
+    banks when provided.  Instantiated but, like the reference, not part of
+    the default training loss; enabled via ``--additional-loss perceptual``.
+    """
+
+    channels: tuple = (8, 16, 32)
+    kernel: int = 3
+    seed: int = 0
+
+    def init(self, in_channels=1):
+        rng = jax.random.PRNGKey(self.seed)
+        params = []
+        cin = in_channels
+        for i, cout in enumerate(self.channels):
+            rng, sub = jax.random.split(rng)
+            fan_in = cin * self.kernel * self.kernel
+            params.append(
+                (1.0 / math.sqrt(fan_in))
+                * jax.random.normal(
+                    sub, (self.kernel, self.kernel, cin, cout), jnp.float32
+                )
+            )
+            cin = cout
+        return params
+
+    def features(self, params, x):
+        feats = []
+        h = x
+        for w in params:
+            h = jax.nn.relu(conv2d(h, w, stride=2, padding=1))
+            feats.append(h)
+        return feats
+
+    def loss(self, params, pred, target):
+        fp = self.features(params, pred)
+        ft = self.features(params, target)
+        return sum(jnp.mean((a - b) ** 2) for a, b in zip(fp, ft)) / len(fp)
+
+
 @dataclass
 class UNetEncoder:
     """Conv stack collecting post-ReLU skip activations (``unet.py:73-112``)."""

@@ -66,6 +66,20 @@ def kl_divergence(mu, logvar):
     )
 
 
+def gradient_penalty(rng, discriminator_fn, real, fake):
+    """WGAN-GP gradient penalty (parity with ``unet.py:277-293``'s GAN
+    leftover): penalise ||grad D(interpolate)||_2 deviating from 1."""
+    alpha = jax.random.uniform(rng, (real.shape[0], 1, 1, 1), real.dtype)
+    interpolates = alpha * real + (1.0 - alpha) * fake
+
+    def d_sum(z):
+        return jnp.sum(discriminator_fn(z))
+
+    grads = jax.grad(d_sum)(interpolates)
+    norms = jnp.sqrt(jnp.sum(grads**2, axis=(1, 2, 3)) + _EPS)
+    return jnp.mean((norms - 1.0) ** 2)
+
+
 def total_variation(x):
     """NHWC total-variation loss (``unet.py:682-691`` semantics)."""
     n = x.shape[0]

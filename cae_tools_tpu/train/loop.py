@@ -50,9 +50,11 @@ class TrainConfig:
     lr: float = 0.001
     weight_decay: float = 1e-5
     optimizer: str = "adam_l2"  # "adam_l2" | "adamw"
-    schedule: str = "constant"  # "constant" | "cosine"
+    schedule: str = "constant"  # "constant" | "cosine" | "step" | "exponential"
     t_max: int = 500
     eta_min: Optional[float] = None  # None -> lr (reference unet.py:459)
+    lr_step_size: int = 500  # for "step" (torch StepLR semantics per epoch)
+    lr_gamma: float = 0.5  # decay factor for "step"/"exponential"
     seed: int = 0
 
 
@@ -90,8 +92,12 @@ class Trainer:
         self.donate = donate
         self._epoch_of_step = None  # set in fit()
 
+        from ..utils.profiling import ThroughputMeter
+
+        self.meter = ThroughputMeter("train")
+
+        base = config.lr
         if config.schedule == "cosine":
-            base = config.lr
             eta_min = config.eta_min if config.eta_min is not None else config.lr
 
             def lr_for_epoch(epoch):
@@ -99,6 +105,15 @@ class Trainer:
                 return eta_min + (base - eta_min) * 0.5 * (
                     1.0 + jnp.cos(jnp.pi * e / config.t_max)
                 )
+
+        elif config.schedule == "step":
+            # torch StepLR per-epoch: lr * gamma^(epoch // step_size)
+            def lr_for_epoch(epoch):
+                return base * config.lr_gamma ** (epoch // config.lr_step_size)
+
+        elif config.schedule == "exponential":
+            def lr_for_epoch(epoch):
+                return base * config.lr_gamma**epoch
 
         else:
 
@@ -226,34 +241,45 @@ class Trainer:
             return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, auxes)
 
         # ---- host loop: record/print at the reference cadence -----------
+        from ..utils.profiling import trace as profile_trace
+
         rng = jax.random.PRNGKey(cfg.seed)
         carry = (params, state, opt_state)
         epoch = 0
         train_loss = test_loss = 0.0
-        while epoch < nr_epochs:
-            # run up to the next test checkpoint (epochs where e % interval == 0)
-            chunk = 1 if epoch % cfg.test_interval == 0 else min(
-                cfg.test_interval - (epoch % cfg.test_interval),
-                nr_epochs - epoch,
-            )
-            rng, sub = jax.random.split(rng)
-            carry, (train_loss, train_aux) = run_epochs(carry, sub, n_epochs=chunk)
-            epoch += chunk
-            e_now = epoch - 1
-            if e_now % cfg.test_interval == 0:
-                test_loss, test_aux = eval_loss(carry[0], carry[1])
-                train_loss = float(train_loss)
-                test_loss = float(test_loss)
-                history["train_loss"].append(train_loss)
-                history["test_loss"].append(test_loss)
-                if log_fn is not None:
-                    log_fn(
-                        epoch_offset + e_now,
-                        train_loss,
-                        test_loss,
-                        jax.tree_util.tree_map(float, train_aux),
-                        jax.tree_util.tree_map(float, test_aux),
-                        float(self.lr_for_epoch(e_now)),
+        profile_ctx = profile_trace()
+        profile_ctx.__enter__()
+        try:
+            while epoch < nr_epochs:
+                # run up to the next test checkpoint (e % interval == 0)
+                chunk = 1 if epoch % cfg.test_interval == 0 else min(
+                    cfg.test_interval - (epoch % cfg.test_interval),
+                    nr_epochs - epoch,
+                )
+                rng, sub = jax.random.split(rng)
+                with self.meter.measure(images=chunk * n, steps=chunk * steps):
+                    carry, (train_loss, train_aux) = run_epochs(
+                        carry, sub, n_epochs=chunk
                     )
+                    jax.block_until_ready(carry[0])
+                epoch += chunk
+                e_now = epoch - 1
+                if e_now % cfg.test_interval == 0:
+                    test_loss, test_aux = eval_loss(carry[0], carry[1])
+                    train_loss = float(train_loss)
+                    test_loss = float(test_loss)
+                    history["train_loss"].append(train_loss)
+                    history["test_loss"].append(test_loss)
+                    if log_fn is not None:
+                        log_fn(
+                            epoch_offset + e_now,
+                            train_loss,
+                            test_loss,
+                            jax.tree_util.tree_map(float, train_aux),
+                            jax.tree_util.tree_map(float, test_aux),
+                            float(self.lr_for_epoch(e_now)),
+                        )
+        finally:
+            profile_ctx.__exit__(None, None, None)
         params, state, opt_state = carry
         return params, state, float(train_loss), float(test_loss)

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import native
+
 
 class ArrayDataset:
     def __init__(
@@ -48,6 +50,8 @@ class ArrayDataset:
         self.input_spec = []
         self.output_spec = None
 
+        self.min_inputs = {}
+        self.max_inputs = {}
         self._input_arrays = []
         for name in self.input_variable_names:
             arr = np.asarray(ds[name].values, dtype=np.float32)
@@ -55,24 +59,20 @@ class ArrayDataset:
                 raise ValueError(
                     f"input variable {name} must be 4-D (N, chan, y, x), got {arr.shape}"
                 )
-            n_nan = int(np.isnan(arr).sum())
+            lo, hi, n_nan = self._scan(arr)
             if n_nan > 0:
                 raise ValueError(
                     f"input variable {name} contains {n_nan} NaN values"
                 )
             self._input_arrays.append(arr)
             self.input_spec.append({"name": name, "shape": list(arr.shape[1:])})
+            self.min_inputs[name] = lo
+            self.max_inputs[name] = hi
 
         self.n = self._input_arrays[0].shape[0]
         self.input_chan = sum(a.shape[1] for a in self._input_arrays)
         self.input_y = self._input_arrays[0].shape[2]
         self.input_x = self._input_arrays[0].shape[3]
-
-        self.min_inputs = {}
-        self.max_inputs = {}
-        for name, arr in zip(self.input_variable_names, self._input_arrays):
-            self.min_inputs[name] = float(arr.min())
-            self.max_inputs[name] = float(arr.max())
 
         if mask_variable_name is not None:
             self._mask_array = np.asarray(
@@ -83,15 +83,15 @@ class ArrayDataset:
 
         if self.output_variable_name is not None:
             arr = np.asarray(ds[self.output_variable_name].values, dtype=np.float32)
-            n_nan = int(np.isnan(arr).sum())
+            lo, hi, n_nan = self._scan(arr)
             if n_nan > 0:
                 raise ValueError(
                     f"output variable contains {n_nan} NaN values"
                 )
             self._output_array = arr
             self.output_chan, self.output_y, self.output_x = arr.shape[1:]
-            self.min_output = float(arr.min())
-            self.max_output = float(arr.max())
+            self.min_output = lo
+            self.max_output = hi
             self.output_spec = {
                 "name": self.output_variable_name,
                 "shape": list(arr.shape[1:]),
@@ -101,6 +101,21 @@ class ArrayDataset:
             self.output_chan = self.output_y = self.output_x = None
             self.min_output = None
             self.max_output = None
+
+    @staticmethod
+    def _scan(arr):
+        """(min, max, nan_count).
+
+        numpy's SIMD reductions win on this host (single-core VM; the fused
+        C++ scan in cae_tools_tpu.native pays off only multi-core, measured
+        0.5x here vs 52x for the pack) — so the scan stays numpy and the
+        NHWC pack goes native.
+        """
+        return (
+            float(np.nanmin(arr)) if not np.all(np.isnan(arr)) else float("nan"),
+            float(np.nanmax(arr)) if not np.all(np.isnan(arr)) else float("nan"),
+            int(np.isnan(arr).sum()),
+        )
 
     # ---- normalisation parameters (checkpoint format surface) -----------
     def set_normalise_output(self, normalise_out):
@@ -190,15 +205,47 @@ class ArrayDataset:
 
         NHWC is the TPU-native conv layout; the NCHW<->NHWC transpose happens
         exactly once here, on the host, before the single device transfer.
+        Uses the fused C++ normalise+pack when built (cae_tools_tpu.native),
+        falling back to numpy.
         """
-        x = np.ascontiguousarray(self.packed_inputs_nchw().transpose(0, 2, 3, 1))
-        out = self.packed_outputs_nchw()
-        y = (
-            np.ascontiguousarray(out.transpose(0, 2, 3, 1))
-            if out is not None
-            else None
+        x = np.empty(
+            (self.n, self.input_y, self.input_x, self.input_chan), np.float32
         )
-        m = np.ascontiguousarray(self.packed_mask_nchw().transpose(0, 2, 3, 1))
+        c = 0
+        native_ok = True
+        for name, src in zip(self.input_variable_names, self._input_arrays):
+            lo = self.min_inputs[name] if self.normalise_in else 0.0
+            hi = self.max_inputs[name] if self.normalise_in else 1.0
+            if not native.normalize_pack(src, x, lo, hi, c):
+                native_ok = False
+                break
+            c += src.shape[1]
+        if not native_ok:
+            x = np.ascontiguousarray(
+                self.packed_inputs_nchw().transpose(0, 2, 3, 1)
+            )
+
+        y = None
+        if self._output_array is not None:
+            src = self._output_array
+            lo = self.min_output if self.normalise_out else 0.0
+            hi = self.max_output if self.normalise_out else 1.0
+            y = np.empty(
+                (src.shape[0], src.shape[2], src.shape[3], src.shape[1]),
+                np.float32,
+            )
+            if not native.normalize_pack(src, y, lo, hi, 0):
+                y = np.ascontiguousarray(
+                    self.packed_outputs_nchw().transpose(0, 2, 3, 1)
+                )
+
+        msrc = self.packed_mask_nchw()
+        m = np.empty(
+            (msrc.shape[0], msrc.shape[2], msrc.shape[3], msrc.shape[1]),
+            np.float32,
+        )
+        if not native.normalize_pack(msrc, m, 0.0, 1.0, 0):
+            m = np.ascontiguousarray(msrc.transpose(0, 2, 3, 1))
         return x, y, m
 
     # ---- per-item access (evaluation/report parity) ----------------------

@@ -11,3 +11,20 @@ sqlite model database.  Parity surface: reference `src/cae_tools/__init__.py:1`.
 
 VERSION = "0.1.0"
 __version__ = VERSION
+
+# Honor an explicit JAX_PLATFORMS environment request.  Some environments
+# (e.g. this image's sitecustomize TPU hook) force-register a platform and
+# pin jax's config regardless of the user's env var; restore user intent
+# here, before the first backend initialisation.
+import os as _os
+
+_requested = _os.environ.get("JAX_PLATFORMS")
+if _requested:
+    try:
+        import jax as _jax
+
+        if (_jax.config.jax_platforms or "") != _requested:
+            _jax.config.update("jax_platforms", _requested)
+    except Exception:  # pragma: no cover - backend already initialised
+        pass
+del _os, _requested

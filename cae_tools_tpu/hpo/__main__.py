@@ -1,0 +1,55 @@
+"""CLI driver for hyperparameter studies.
+
+Command-line equivalent of the reference's root-level ``hypar_optim.py``
+script (Optuna TPE over train_cae with a 13-knob space).  Example::
+
+    python -m cae_tools_tpu.hpo \
+        --train-inputs train.nc --test-inputs test.nc \
+        --input-variables lowres --output-variable hires \
+        --work-folder trials --n-trials 50 --method unet --nr-epochs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from .optim import HyperOptimizer, default_search_space
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train-inputs", nargs="+", required=True)
+    parser.add_argument("--test-inputs", nargs="+", required=True)
+    parser.add_argument("--input-variables", nargs="+", required=True)
+    parser.add_argument("--output-variable", required=True)
+    parser.add_argument("--work-folder", required=True)
+    parser.add_argument("--n-trials", type=int, default=50)
+    parser.add_argument("--nr-epochs", type=int, default=100)
+    parser.add_argument("--method", default="unet")
+    parser.add_argument("--mode", choices=["inproc", "subprocess"], default="inproc")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log-path", default=None)
+    args = parser.parse_args(argv)
+
+    space = default_search_space()
+    space["method"] = ("fixed", args.method)
+    space["nr_epochs"] = ("fixed", args.nr_epochs)
+
+    opt = HyperOptimizer(
+        train_inputs=args.train_inputs,
+        test_inputs=args.test_inputs,
+        input_variables=args.input_variables,
+        output_variable=args.output_variable,
+        work_folder=args.work_folder,
+        search_space=space,
+        mode=args.mode,
+        seed=args.seed,
+        log_path=args.log_path or f"{args.work_folder}/study.jsonl",
+    )
+    best_params, best_value, results = opt.run(n_trials=args.n_trials)
+    print(json.dumps({"best_value": best_value, "best_params": best_params}))
+
+
+if __name__ == "__main__":
+    main()

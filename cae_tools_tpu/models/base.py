@@ -86,6 +86,20 @@ class BaseModel:
             "lr_gamma": getattr(self, "lr_gamma", 0.5),
         }
 
+    def _make_trainer(self, loss_fn, config, train_data):
+        """Device-resident trainer by default; streaming for huge datasets
+        or when ``model.streaming = True``."""
+        from ..train.stream import data_nbytes, pick_trainer
+
+        force = "streaming" if getattr(self, "streaming", False) else None
+        return pick_trainer(
+            loss_fn,
+            config,
+            mesh=self.mesh,
+            data_bytes=data_nbytes(train_data),
+            force=force,
+        )
+
     # ---- subclass compute hook -------------------------------------------
     def _forward_eval(self, x):
         """Pure eval-mode forward on an (B, H, W, C) batch -> (B, H', W', C')."""

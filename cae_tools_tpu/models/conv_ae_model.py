@@ -294,7 +294,9 @@ class ConvAEModel(BaseModel):
             optimizer="adam_l2",
             **self._schedule_kwargs("constant"),
         )
-        trainer = Trainer(self._make_loss_fn(), config, mesh=self.mesh)
+        trainer = self._make_trainer(
+            self._make_loss_fn(), config, {"x": x_tr, "y": y_tr}
+        )
 
         def log_fn(epoch, train_loss, test_loss, train_aux, test_aux, lr):
             print("%5d %.6f %.6f" % (epoch, train_loss, test_loss))

@@ -265,7 +265,9 @@ class UNET(BaseModel):
             eta_min=self.lr,  # reference quirk: scheduler is a no-op (unet.py:459)
             **self._schedule_kwargs("cosine"),
         )
-        trainer = Trainer(self._make_loss_fn(), config, mesh=self.mesh)
+        trainer = self._make_trainer(
+            self._make_loss_fn(), config, {"x": x_tr, "y": y_tr, "m": m_tr}
+        )
 
         def log_fn(epoch, train_loss, test_loss, train_aux, test_aux, lr):
             print(

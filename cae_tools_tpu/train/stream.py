@@ -1,0 +1,181 @@
+"""Streaming training path: host-resident data, double-buffered device feed.
+
+The default trainer (`train.loop.Trainer.fit`) keeps the whole dataset
+device-resident — optimal at the reference's scale but impossible when the
+dataset exceeds HBM.  This module provides the large-data path promised in
+SURVEY.md §7: batches are sliced on the host per step, transferred with
+``jax.device_put`` (async) while the previous step computes, and consumed by
+a single jitted ``train_step`` — a classic two-deep host->device pipeline.
+
+The per-step math is identical to the compiled path (same loss_fn contract,
+same optimizers/schedules); only the batch delivery differs, so models can
+switch via ``model.streaming = True`` (or automatically above a size
+threshold) without behavioral change beyond shuffle RNG provenance.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from .loop import TrainConfig, Trainer, make_optimizer
+
+#: device-resident training is used below this many data bytes
+DEVICE_RESIDENT_LIMIT_BYTES = 4 << 30
+
+
+def data_nbytes(data: dict) -> int:
+    return sum(np.asarray(v).nbytes for v in data.values())
+
+
+class StreamingTrainer(Trainer):
+    """Trainer variant feeding batches host->device with double buffering."""
+
+    def fit(
+        self,
+        params,
+        state,
+        train_data: dict,
+        test_data: dict,
+        history: dict,
+        log_fn=None,
+        nr_epochs: Optional[int] = None,
+        epoch_offset: int = 0,
+    ):
+        cfg = self.config
+        nr_epochs = nr_epochs if nr_epochs is not None else cfg.nr_epochs
+        n = next(iter(train_data.values())).shape[0]
+        steps = max(1, math.ceil(n / cfg.batch_size))
+        tn = next(iter(test_data.values())).shape[0]
+        tsteps = max(1, math.ceil(tn / cfg.batch_size))
+
+        schedule_fn = lambda step: self.lr_for_epoch(step // steps)
+        tx = make_optimizer(cfg, schedule_fn)
+
+        copy = lambda a: jnp.array(a, copy=True)
+        params = jax.tree_util.tree_map(copy, params)
+        state = jax.tree_util.tree_map(copy, state)
+        if self.mesh is not None:
+            repl = replicated_sharding(self.mesh)
+            params = jax.device_put(params, repl)
+            state = jax.device_put(state, repl)
+        opt_state = tx.init(params)
+
+        loss_fn = self.loss_fn
+
+        @jax.jit
+        def train_step(params, state, opt_state, rng, batch):
+            (loss, (new_state, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, state, rng, batch, True)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_state, opt_state, loss, aux
+
+        @jax.jit
+        def eval_step(params, state, batch):
+            loss, (_, aux) = loss_fn(
+                params, state, jax.random.PRNGKey(0), batch, False
+            )
+            return loss, aux
+
+        def put(batch):
+            if self.mesh is not None:
+                return {
+                    k: jax.device_put(v, batch_sharding(self.mesh, np.ndim(v)))
+                    for k, v in batch.items()
+                }
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+
+        def host_batches(data, count, order):
+            """Yield padded fixed-size batches with per-sample weights."""
+            bs = cfg.batch_size
+            for s in range(count):
+                idx = order[s * bs : (s + 1) * bs]
+                w = np.ones((bs,), np.float32)
+                if idx.shape[0] < bs:
+                    w[idx.shape[0] :] = 0.0
+                    idx = np.concatenate(
+                        [idx, np.broadcast_to(idx[:1], (bs - idx.shape[0],))]
+                    )
+                batch = {k: v[idx] for k, v in data.items()}
+                batch["w"] = w
+                yield batch
+
+        def prefetched(iterator):
+            """Keep one transferred batch in flight ahead of compute."""
+            pending = None
+            for batch in iterator:
+                ready = put(batch)  # async transfer starts immediately
+                if pending is not None:
+                    yield pending
+                pending = ready
+            if pending is not None:
+                yield pending
+
+        host_rng = np.random.default_rng(cfg.seed)
+        test_order = np.arange(tn)
+        train_loss = test_loss = 0.0
+        train_aux = test_aux = {}
+
+        for epoch in range(nr_epochs):
+            order = host_rng.permutation(n)
+            losses, auxes = [], []
+            rng = jax.random.PRNGKey(cfg.seed * 100003 + epoch)
+            with self.meter.measure(images=n, steps=steps):
+                for batch in prefetched(host_batches(train_data, steps, order)):
+                    rng, sub = jax.random.split(rng)
+                    params, state, opt_state, loss, aux = train_step(
+                        params, state, opt_state, sub, batch
+                    )
+                    losses.append(loss)
+                    auxes.append(aux)
+                jax.block_until_ready(params)
+            train_loss = float(np.mean([float(l) for l in losses]))
+            train_aux = {
+                k: float(np.mean([float(a[k]) for a in auxes]))
+                for k in (auxes[0] if auxes else {})
+            }
+
+            if epoch % cfg.test_interval == 0:
+                tlosses, tauxes = [], []
+                for batch in prefetched(
+                    host_batches(test_data, tsteps, test_order)
+                ):
+                    loss, aux = eval_step(params, state, batch)
+                    tlosses.append(loss)
+                    tauxes.append(aux)
+                test_loss = float(np.mean([float(l) for l in tlosses]))
+                test_aux = {
+                    k: float(np.mean([float(a[k]) for a in tauxes]))
+                    for k in (tauxes[0] if tauxes else {})
+                }
+                history["train_loss"].append(train_loss)
+                history["test_loss"].append(test_loss)
+                if log_fn is not None:
+                    log_fn(
+                        epoch_offset + epoch,
+                        train_loss,
+                        test_loss,
+                        train_aux,
+                        test_aux,
+                        float(self.lr_for_epoch(epoch)),
+                    )
+
+        return params, state, float(train_loss), float(test_loss)
+
+
+def pick_trainer(loss_fn, config: TrainConfig, mesh=None, data_bytes=0, force=None):
+    """Device-resident trainer below the HBM budget, streaming above it."""
+    if force == "streaming" or (
+        force is None and data_bytes > DEVICE_RESIDENT_LIMIT_BYTES
+    ):
+        return StreamingTrainer(loss_fn, config, mesh=mesh)
+    return Trainer(loss_fn, config, mesh=mesh)

@@ -1,0 +1,66 @@
+"""Streaming (host->device double-buffered) training path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cae_tools_tpu.nn import modules as M
+from cae_tools_tpu.train.loop import TrainConfig
+from cae_tools_tpu.train.stream import StreamingTrainer, pick_trainer, data_nbytes
+
+
+def _linear_loss(lin):
+    def loss_fn(params, state, rng, batch, train):
+        out, _ = lin.apply(params, state, batch["x"], train)
+        per = jnp.mean((out - batch["y"]) ** 2, axis=(1, 2, 3))
+        w = batch["w"]
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0), ({}, {})
+
+    return loss_fn
+
+
+def test_streaming_trainer_converges():
+    rng = np.random.default_rng(0)
+    x = rng.random((20, 4, 4, 1), dtype=np.float32)
+    y = np.tile(x.mean(axis=(1, 2, 3))[:, None, None, None], (1, 8, 8, 1)).astype(
+        np.float32
+    )
+    lin = M.LinearMap((1, 4, 4), (1, 8, 8))
+    params, state = lin.init(jax.random.PRNGKey(0))
+    cfg = TrainConfig(batch_size=8, nr_epochs=12, test_interval=4, lr=0.05, seed=1)
+    tr = StreamingTrainer(_linear_loss(lin), cfg)
+    hist = {"train_loss": [], "test_loss": [], "nr_epochs": 0}
+    p, s, tl, te = tr.fit(params, state, {"x": x, "y": y}, {"x": x, "y": y}, hist)
+    assert len(hist["train_loss"]) == 3  # epochs 0, 4, 8
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert tr.meter.total_images == 12 * 20
+
+
+def test_pick_trainer_thresholds():
+    from cae_tools_tpu.train.loop import Trainer
+
+    small = {"x": np.zeros((4, 2, 2, 1), np.float32)}
+    t1 = pick_trainer(None, TrainConfig(), data_bytes=data_nbytes(small))
+    assert type(t1) is Trainer
+    t2 = pick_trainer(None, TrainConfig(), data_bytes=8 << 30)
+    assert isinstance(t2, StreamingTrainer)
+    t3 = pick_trainer(None, TrainConfig(), data_bytes=0, force="streaming")
+    assert isinstance(t3, StreamingTrainer)
+
+
+def test_model_streaming_flag(tmp_path_factory):
+    from cae_tools_tpu.data.datagen import generate_spec_files
+    from cae_tools_tpu.models import LinearModel
+    from cae_tools_tpu.xrcompat import xr
+
+    root = str(tmp_path_factory.mktemp("stream"))
+    folder = generate_spec_files("circle", root, n=12, seed=13)
+    train_ds = xr.open_dataset(folder + "/train.nc")
+    test_ds = xr.open_dataset(folder + "/test.nc")
+    mt = LinearModel(batch_size=6, nr_epochs=4, test_interval=2, lr=0.05)
+    mt.streaming = True
+    mt.train(["lowres"], "hires", train_ds, test_ds)
+    assert len(mt.history["train_loss"]) == 2
+    assert np.isfinite(mt.history["train_loss"][-1])

@@ -17,11 +17,17 @@ def build_parser():
     parser.add_argument("--input-variables", nargs="+", help="name of the input variable(s) in training/test data", required=False)
     parser.add_argument("--prediction-variable", help="name of the prediction variable to create in output data", default="model_output")
     parser.add_argument("--mask-variable", type=str, help="name of the mask variable", default=None)
+    parser.add_argument("--precision", choices=["highest", "high", "default"], default="highest",
+                        help="conv/matmul precision: highest=f32-exact (reference parity), default=bf16 MXU fast path")
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    from ..ops import convops
+
+    convops.set_precision(args.precision)
 
     mt = load_model(args.model_folder)
 

@@ -59,6 +59,8 @@ def build_parser():
     parser.add_argument("--chunk-size", type=int, help="chunk size for xarray", default=1000)
     parser.add_argument("--include-coasts", help="include coastal areas", default=False)
     parser.add_argument("--mask-variable", type=str, help="name of the mask variable", default=None)
+    parser.add_argument("--precision", choices=["highest", "high", "default"], default="highest",
+                        help="conv/matmul precision: highest=f32-exact (reference parity), default=bf16 MXU fast path")
     return parser
 
 
@@ -121,6 +123,10 @@ def build_model(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    from ..ops import convops
+
+    convops.set_precision(args.precision)
 
     train_ds = open_inputs(args.train_inputs)
     test_ds = open_inputs(args.test_inputs)

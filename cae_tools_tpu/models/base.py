@@ -128,6 +128,36 @@ class BaseModel:
         out = np.asarray(self._apply_cache[key](jnp.asarray(x_np)))
         return out[:n]
 
+    def _predict_denorm_nchw(self, x_np: np.ndarray, lo: float, hi: float):
+        """Fused predict + denormalise + NHWC->NCHW transpose on device.
+
+        One jit dispatch and one device->host copy for the whole dataset —
+        the reference's per-batch score loop + host-side denormalise
+        (``base_model.py:145-152``) collapsed into the compiled graph.
+        """
+        n = x_np.shape[0]
+        bs = max(1, int(self.batch_size))
+        chunks = max(1, math.ceil(n / bs))
+        n_pad = chunks * bs
+        if n_pad != n:
+            x_np = np.concatenate(
+                [x_np, np.repeat(x_np[-1:], n_pad - n, axis=0)], axis=0
+            )
+        key = ("predict_denorm", x_np.shape, bs, float(lo), float(hi))
+        if key not in self._apply_cache:
+
+            @jax.jit
+            def run(x):
+                xb = x.reshape((chunks, bs) + x.shape[1:])
+                yb = jax.lax.map(self._forward_eval, xb)
+                yb = lo + yb * (hi - lo)
+                yb = yb.reshape((n_pad,) + yb.shape[2:])
+                return jnp.transpose(yb, (0, 3, 1, 2))
+
+            self._apply_cache[key] = run
+        out = np.asarray(self._apply_cache[key](jnp.asarray(x_np)))
+        return out[:n]
+
     # ---- evaluation (base_model.py:69-100) --------------------------------
     def evaluate(self, dataset: ArrayDataset, device=None):
         """Denormalised metric collection over a dataset."""
@@ -163,9 +193,11 @@ class BaseModel:
         )
         ds.set_normalisation_parameters(self.normalisation_parameters)
         x, _, _ = ds.arrays_nhwc()
-        scores = self._predict_normalised(x)  # (N, Y, X, C) normalised
-        scores = ds.denormalise_output(scores)
-        scores_nchw = np.ascontiguousarray(scores.transpose(0, 3, 1, 2))
+        if ds.normalise_out:
+            lo, hi = ds.min_output, ds.max_output
+        else:
+            lo, hi = 0.0, 1.0
+        scores_nchw = self._predict_denorm_nchw(x, lo, hi)
         score_ds[prediction_variable] = xr.DataArray(
             scores_nchw,
             dims=(n_dimension, channel_dimension, y_dimension, x_dimension),

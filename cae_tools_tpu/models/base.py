@@ -160,11 +160,24 @@ class BaseModel:
 
     # ---- evaluation (base_model.py:69-100) --------------------------------
     def evaluate(self, dataset: ArrayDataset, device=None):
-        """Denormalised metric collection over a dataset."""
+        """Denormalised metric collection over a dataset.
+
+        Default: host-side ModelMetric (float64, bit-parity with the
+        reference's scipy path).  Set ``model.fast_eval = True`` for the
+        jitted device-side reduction (metrics.fast_metrics) on large
+        datasets — identical math in float32.
+        """
         dataset.set_normalise_output(False)
         x, y_not_norm, mask = dataset.arrays_nhwc()
         scores = self._predict_normalised(x)
         scores = dataset.denormalise_output(scores, force=True)
+        if getattr(self, "fast_eval", False):
+            from .metrics import fast_metrics
+
+            result = fast_metrics(
+                jnp.asarray(y_not_norm), jnp.asarray(scores), jnp.asarray(mask)
+            )
+            return {k: float(v) for k, v in result.items()}
         mm = ModelMetric()
         for i in range(x.shape[0]):
             mm.accumulate(y_not_norm[i], scores[i], mask[i])

@@ -12,6 +12,48 @@ import numpy as np
 from scipy.stats import pearsonr
 
 
+def fast_metrics(actual, estimate, mask):
+    """Jittable whole-dataset metrics, exactly matching ModelMetric.
+
+    actual/estimate/mask: (N, H, W, C) arrays (mask broadcastable).  Computes
+    masked global mse/rmse/mae and the per-instance masked Pearson
+    correlation averaged over instances — identical math to scipy's
+    ``pearsonr`` over the masked vector of each instance.
+    """
+    import jax.numpy as jnp
+
+    m = jnp.broadcast_to(mask, actual.shape).astype(jnp.float64)
+    a = actual.astype(jnp.float64)
+    e = estimate.astype(jnp.float64)
+    n = a.shape[0]
+    af = a.reshape(n, -1)
+    ef = e.reshape(n, -1)
+    mf = m.reshape(n, -1)
+
+    diff = (af - ef) * mf
+    count = jnp.sum(mf)
+    mse = jnp.sum(diff**2) / count
+    mae = jnp.sum(jnp.abs(diff)) / count
+
+    cnt_i = jnp.sum(mf, axis=1)
+    mean_a = jnp.sum(af * mf, axis=1) / cnt_i
+    mean_e = jnp.sum(ef * mf, axis=1) / cnt_i
+    ca = (af - mean_a[:, None]) * mf
+    ce = (ef - mean_e[:, None]) * mf
+    cov = jnp.sum(ca * ce, axis=1)
+    var_a = jnp.sum(ca**2, axis=1)
+    var_e = jnp.sum(ce**2, axis=1)
+    corr = cov / jnp.sqrt(var_a * var_e)
+    mean_corr = jnp.mean(corr)
+
+    return {
+        "mse": mse,
+        "rmse": jnp.sqrt(mse),
+        "mae": mae,
+        "mean_pearson_correlation": mean_corr,
+    }
+
+
 class ModelMetric:
     def __init__(self):
         self.actuals = []

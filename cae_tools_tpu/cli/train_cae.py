@@ -18,7 +18,8 @@ import json
 import os
 import time
 
-from ..models import MODEL_TYPES, ConvAEModel, LinearModel, UNET, VarAEModel
+from ..models import (MODEL_TYPES, ConvAEModel, LinearModel, SRCNNRes, UNET,
+                      UNETRes, VarAEModel)
 from ..models.sizer import ModelSpec
 from .common import broadcast_scalar_vars, open_inputs
 
@@ -113,11 +114,32 @@ def build_model(args):
             conv_output_layer_count=args.output_layer_count,
             **common,
         )
+    if args.method == "unet_res":
+        return UNETRes(
+            fc_size=args.fc_size,
+            encoded_dim_size=args.latent_size,
+            lambda_l1=args.lambda_l1,
+            lambda_pearson=args.lambda_pearson,
+            database_path=args.database_path,
+            weight_decay=args.weight_decay,
+            dropout_rate=args.dropout_rate,
+            conv_kernel_size=args.kernel_size,
+            conv_stride=args.stride,
+            conv_input_layer_count=args.input_layer_count,
+            conv_output_layer_count=args.output_layer_count,
+            **common,
+        )
+    if args.method == "srcnn_res":
+        return SRCNNRes(
+            database_path=args.database_path,
+            weight_decay=args.weight_decay,
+            **common,
+        )
     if args.method == "linear":
         return LinearModel(database_path=args.database_path, weight_decay=args.weight_decay, **common)
     raise SystemExit(
-        f"method {args.method!r} is not implemented in this snapshot "
-        "(accepted-but-unhandled in the reference as well)"
+        f"method {args.method!r} is not implemented "
+        "(resunet_gan was accepted-but-unhandled in the reference too)"
     )
 
 

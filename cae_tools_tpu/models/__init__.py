@@ -3,7 +3,8 @@ from .base import BaseModel  # noqa: F401
 from .conv_ae_model import ConvAEModel  # noqa: F401
 from .linear_model import LinearModel  # noqa: F401
 from .var_ae_model import VarAEModel  # noqa: F401
-from .unet_model import UNET  # noqa: F401
+from .unet_model import UNET, UNETRes  # noqa: F401
+from .srcnn_res_model import SRCNNRes  # noqa: F401
 from .metrics import ModelMetric  # noqa: F401
 
 #: parameters.json "type" -> model class (dispatch used by CLI + evaluator,
@@ -13,6 +14,8 @@ MODEL_TYPES = {
     "LinearModel": LinearModel,
     "VarAEModel": VarAEModel,
     "UNET": UNET,
+    "UNETRes": UNETRes,
+    "SRCNNRes": SRCNNRes,
 }
 
 

@@ -143,13 +143,21 @@ class UNET(BaseModel):
         self.params = {"encoder": enc_p, "decoder": dec_p}
         self.state = {"encoder": enc_s, "decoder": dec_s}
 
+    def _net_apply(self, params, state, x, train, rng=None):
+        """Full network forward; overridden by residual variants."""
+        r_enc = r_dec = None
+        if rng is not None:
+            r_enc, r_dec = jax.random.split(rng)
+        (z, skips), enc_s = self.encoder.apply(
+            params["encoder"], state["encoder"], x, train, rng=r_enc
+        )
+        out, dec_s = self.decoder.apply(
+            params["decoder"], state["decoder"], z, skips, train, rng=r_dec
+        )
+        return out, {"encoder": enc_s, "decoder": dec_s}
+
     def _forward_eval(self, x):
-        (z, skips), _ = self.encoder.apply(
-            self.params["encoder"], self.state["encoder"], x, train=False
-        )
-        y, _ = self.decoder.apply(
-            self.params["decoder"], self.state["decoder"], z, skips, train=False
-        )
+        y, _ = self._net_apply(self.params, self.state, x, train=False)
         return y
 
     def _make_loss_fn(self):
@@ -166,14 +174,10 @@ class UNET(BaseModel):
             percep = M.PerceptualFeatureLoss()
             percep_params = percep.init(in_channels=self.output_shape[0])
 
+        net_apply = self._net_apply
+
         def loss_fn(params, state, rng, batch, train):
-            r_enc, r_dec = jax.random.split(rng)
-            (z, skips), enc_s = encoder.apply(
-                params["encoder"], state["encoder"], batch["x"], train, rng=r_enc
-            )
-            out, dec_s = decoder.apply(
-                params["decoder"], state["decoder"], z, skips, train, rng=r_dec
-            )
+            out, new_state = net_apply(params, state, batch["x"], train, rng=rng)
             w = batch["w"][:, None, None, None]
             mask = jnp.broadcast_to(batch["m"], out.shape) * w
             mse = L.masked_mse(out, batch["y"], mask)
@@ -189,7 +193,7 @@ class UNET(BaseModel):
                     percep_params, out, batch["y"]
                 )
             aux = {"mse": mse, "pearson_loss": pearson_loss}
-            return loss, ({"encoder": enc_s, "decoder": dec_s}, aux)
+            return loss, (new_state, aux)
 
         return loss_fn
 
@@ -417,3 +421,65 @@ class UNET(BaseModel):
         self.state = {"encoder": enc["state"], "decoder": dec["state"]}
         self._apply_cache = {}
         super().load(from_folder)
+
+
+class UNETRes(UNET):
+    """Residual UNet ("unet_res" method).
+
+    The reference CLI accepts ``--method unet_res`` and ``BaseModel.apply``
+    device-moves a ``unet_res`` attribute (``base_model.py:140-141``), but no
+    implementation shipped.  This variant predicts a *residual* over a
+    bilinear-upsampled, 1x1-projected input base estimate: the UNet decoder
+    runs without its final sigmoid and its output is added to the base —
+    usually faster to converge for super-resolution because the identity
+    mapping is free.
+    """
+
+    MODEL_TYPE = "UNETRes"
+    DB_TYPE = "UNETRes"
+
+    def _build_modules(self):
+        super()._build_modules()
+        self.decoder.final_sigmoid = False
+
+    def _init_params(self, rng):
+        super()._init_params(rng)
+        cin = self.input_shape[0]
+        cout = self.output_shape[0]
+        self.params["base_proj"] = {
+            "w": jnp.full((1, 1, cin, cout), 1.0 / cin, jnp.float32),
+            "b": jnp.zeros((cout,), jnp.float32),
+        }
+        # zero-ish residual start: initial output ~= the upsampled base
+        self.params["res_scale"] = jnp.asarray(0.01, jnp.float32)
+
+    def _net_apply(self, params, state, x, train, rng=None):
+        from ..ops.convops import conv2d
+
+        out, new_state = super()._net_apply(params, state, x, train, rng=rng)
+        _, oy, ox = self.output_shape
+        up = jax.image.resize(
+            x, (x.shape[0], oy, ox, x.shape[3]), method="bilinear"
+        )
+        base = conv2d(up, params["base_proj"]["w"]) + params["base_proj"]["b"]
+        return base + params["res_scale"] * out, new_state
+
+    def save(self, to_folder):
+        super().save(to_folder)
+        torchio.save_state_dict(
+            os.path.join(to_folder, "residual.weights"),
+            torchio.flatten_pytree(
+                {
+                    "base_proj": self.params["base_proj"],
+                    "res_scale": self.params["res_scale"],
+                }
+            ),
+        )
+
+    def load(self, from_folder):
+        super().load(from_folder)
+        blob = torchio.unflatten_pytree(
+            torchio.load_state_dict(os.path.join(from_folder, "residual.weights"))
+        )
+        self.params["base_proj"] = blob["base_proj"]
+        self.params["res_scale"] = blob["res_scale"]

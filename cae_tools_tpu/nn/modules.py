@@ -335,6 +335,55 @@ def channel_attention_apply(params, x):
     return gate[:, None, None, :]
 
 
+@dataclass
+class SRCNNRes:
+    """Residual SRCNN super-resolver.
+
+    The reference accepts ``--method srcnn_res`` and its ``BaseModel.apply``
+    moves a ``srcnn_res`` module to the device (``base_model.py:142-143``),
+    but the model class never shipped in the snapshot; this provides the
+    capability: bilinear-upsample the input to the output grid, learn a 1x1
+    channel projection as the base estimate, and add a 9-5-5 SRCNN-style
+    conv residual (SAME padding).  Output is base + residual (no squashing,
+    like the linear baseline).
+    """
+
+    input_shape: tuple  # (C, Y, X)
+    output_shape: tuple  # (C, Y, X)
+    n1: int = 64
+    n2: int = 32
+
+    def init(self, rng):
+        cin = self.input_shape[0]
+        cout = self.output_shape[0]
+        r0, r1, r2, r3 = jax.random.split(rng, 4)
+        params = {
+            # base projection starts as channel-average passthrough
+            "proj": {
+                "w": jnp.full((1, 1, cin, cout), 1.0 / cin, jnp.float32),
+                "b": jnp.zeros((cout,), jnp.float32),
+            },
+            "conv1": conv_params_default(r1, 9, 9, cin, self.n1),
+            "conv2": conv_params_default(r2, 5, 5, self.n1, self.n2),
+            "conv3": conv_params_default(r3, 5, 5, self.n2, cout),
+        }
+        # residual head starts near zero so initial output ~= upsampled base
+        params["conv3"]["w"] = params["conv3"]["w"] * 0.01
+        params["conv3"]["b"] = jnp.zeros_like(params["conv3"]["b"])
+        return params, {}
+
+    def apply(self, params, state, x, train=False):
+        _, oy, ox = self.output_shape
+        up = jax.image.resize(
+            x, (x.shape[0], oy, ox, x.shape[3]), method="bilinear"
+        )
+        base = conv2d(up, params["proj"]["w"]) + params["proj"]["b"]
+        h = jax.nn.relu(conv2d(up, params["conv1"]["w"], padding=4) + params["conv1"]["b"])
+        h = jax.nn.relu(conv2d(h, params["conv2"]["w"], padding=2) + params["conv2"]["b"])
+        res = conv2d(h, params["conv3"]["w"], padding=2) + params["conv3"]["b"]
+        return base + res, state
+
+
 def dual_channel_attention_init(rng, channels, ratio=8):
     """Dual (global MLP x spatial 7x7) attention gate.
 
@@ -497,6 +546,7 @@ class UNetDecoder:
     fc_size: int
     dropout_rate: float = 0.1
     skip_shapes: Sequence[tuple] = field(default_factory=list)  # [(C,Y,X)] encoder order
+    final_sigmoid: bool = True  # False for residual heads (UNETRes)
 
     @property
     def unflat_dims(self):
@@ -605,4 +655,6 @@ class UNetDecoder:
                 h = jax.nn.relu(h)
                 rng, sub = jax.random.split(rng)
                 h = dropout(sub, h, self.dropout_rate, train)
-        return jax.nn.sigmoid(h), new_state
+        if self.final_sigmoid:
+            h = jax.nn.sigmoid(h)
+        return h, new_state

@@ -77,6 +77,7 @@ class BaseModel:
             "StepLR": "step",
             "ExponentialLR": "exponential",
             "CosineAnnealingLR": "cosine",
+            "ReduceLROnPlateau": "plateau",
         }
         requested = getattr(self, "scheduler_type", None)
         schedule = torch_names.get(requested, default_schedule)

@@ -50,30 +50,41 @@ class TrainConfig:
     lr: float = 0.001
     weight_decay: float = 1e-5
     optimizer: str = "adam_l2"  # "adam_l2" | "adamw"
-    schedule: str = "constant"  # "constant" | "cosine" | "step" | "exponential"
+    # "constant" | "cosine" | "step" | "exponential" | "plateau"
+    schedule: str = "constant"
     t_max: int = 500
     eta_min: Optional[float] = None  # None -> lr (reference unet.py:459)
     lr_step_size: int = 500  # for "step" (torch StepLR semantics per epoch)
     lr_gamma: float = 0.5  # decay factor for "step"/"exponential"
+    plateau_patience: int = 10  # "plateau": torch ReduceLROnPlateau defaults
+    plateau_factor: float = 0.1
+    plateau_threshold: float = 1e-4  # relative improvement threshold
     seed: int = 0
 
 
 def make_optimizer(config: TrainConfig, schedule_fn) -> optax.GradientTransformation:
-    if config.optimizer == "adam_l2":
-        return optax.chain(
-            optax.add_decayed_weights(config.weight_decay),
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.scale_by_learning_rate(schedule_fn),
-        )
-    if config.optimizer == "adamw":
-        return optax.adamw(
-            learning_rate=schedule_fn,
-            b1=0.9,
-            b2=0.999,
-            eps=1e-8,
-            weight_decay=config.weight_decay,
-        )
-    raise ValueError(f"unknown optimizer {config.optimizer!r}")
+    def build(learning_rate):
+        if config.optimizer == "adam_l2":
+            return optax.chain(
+                optax.add_decayed_weights(config.weight_decay),
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+        if config.optimizer == "adamw":
+            return optax.adamw(
+                learning_rate=learning_rate,
+                b1=0.9,
+                b2=0.999,
+                eps=1e-8,
+                weight_decay=config.weight_decay,
+            )
+        raise ValueError(f"unknown optimizer {config.optimizer!r}")
+
+    if config.schedule == "plateau":
+        # dynamic lr living in opt_state.hyperparams, adjusted by the host
+        # loop on test-loss plateaus (torch ReduceLROnPlateau semantics)
+        return optax.inject_hyperparams(build)(learning_rate=config.lr)
+    return build(schedule_fn)
 
 
 class Trainer:
@@ -114,6 +125,12 @@ class Trainer:
         elif config.schedule == "exponential":
             def lr_for_epoch(epoch):
                 return base * config.lr_gamma**epoch
+
+        elif config.schedule == "plateau":
+            self._current_lr = config.lr
+
+            def lr_for_epoch(epoch):
+                return self._current_lr
 
         else:
 
@@ -247,6 +264,8 @@ class Trainer:
         carry = (params, state, opt_state)
         epoch = 0
         train_loss = test_loss = 0.0
+        plateau_best = float("inf")
+        plateau_bad = 0
         profile_ctx = profile_trace()
         profile_ctx.__enter__()
         try:
@@ -270,6 +289,23 @@ class Trainer:
                     test_loss = float(test_loss)
                     history["train_loss"].append(train_loss)
                     history["test_loss"].append(test_loss)
+                    if cfg.schedule == "plateau":
+                        improved = test_loss < plateau_best * (
+                            1.0 - cfg.plateau_threshold
+                        )
+                        if improved:
+                            plateau_best = test_loss
+                            plateau_bad = 0
+                        else:
+                            plateau_bad += 1
+                            if plateau_bad > cfg.plateau_patience:
+                                self._current_lr *= cfg.plateau_factor
+                                plateau_bad = 0
+                                p_, s_, o_ = carry
+                                o_.hyperparams["learning_rate"] = jnp.asarray(
+                                    self._current_lr, jnp.float32
+                                )
+                                carry = (p_, s_, o_)
                     if log_fn is not None:
                         log_fn(
                             epoch_offset + e_now,

@@ -39,6 +39,35 @@ def test_lr_schedules(schedule, expected):
     assert got == pytest.approx(expected, rel=1e-6)
 
 
+def test_plateau_schedule_decays_lr():
+    import jax
+    import numpy as np
+
+    lin = M.LinearMap((1, 4, 4), (1, 4, 4))
+    params, state = lin.init(jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).random((8, 4, 4, 1), dtype=np.float32)
+    y = np.random.default_rng(1).random((8, 4, 4, 1), dtype=np.float32)
+
+    def loss_fn(p, s, r, b, t):
+        out, _ = lin.apply(p, s, b["x"], t)
+        per = jnp.mean((out - b["y"]) ** 2, axis=(1, 2, 3))
+        return jnp.sum(per * b["w"]) / jnp.maximum(jnp.sum(b["w"]), 1.0), ({}, {})
+
+    # lr so small the loss can't improve -> plateau logic must halve it
+    cfg = TrainConfig(
+        batch_size=8, nr_epochs=15, test_interval=1, lr=1e-9,
+        schedule="plateau", plateau_patience=2, plateau_factor=0.5,
+    )
+    tr = Trainer(loss_fn, cfg)
+    hist = {"train_loss": [], "test_loss": [], "nr_epochs": 0}
+    lrs = []
+    tr.fit(
+        params, state, {"x": x, "y": y}, {"x": x, "y": y}, hist,
+        log_fn=lambda e, tl, te, ta, tb, lr: lrs.append(lr),
+    )
+    assert min(lrs) < 1e-9
+
+
 def test_cosine_schedule_reference_quirk():
     # eta_min defaults to lr -> constant (unet.py:459 parity)
     cfg = TrainConfig(lr=0.01, schedule="cosine", t_max=10)

@@ -102,12 +102,20 @@ class BaseModel:
         )
 
     # ---- subclass compute hook -------------------------------------------
-    def _forward_eval(self, x):
-        """Pure eval-mode forward on an (B, H, W, C) batch -> (B, H', W', C')."""
+    def _forward_eval_p(self, params, state, x):
+        """Pure eval-mode forward on an (B, H, W, C) batch -> (B, H', W', C').
+
+        Takes params/state explicitly so jitted callers pass them as
+        arguments — closed-over weights would be baked into the HLO as
+        constants (a problem at production weight sizes and on
+        remote-compile backends).
+        """
         raise NotImplementedError
 
-    def _predict_normalised(self, x_np: np.ndarray) -> np.ndarray:
-        """Run the model over all cases; input/output are NHWC numpy."""
+    def _forward_eval(self, x):
+        return self._forward_eval_p(self.params, self.state, x)
+
+    def _pad_cases(self, x_np):
         n = x_np.shape[0]
         bs = max(1, int(self.batch_size))
         chunks = max(1, math.ceil(n / bs))
@@ -116,17 +124,26 @@ class BaseModel:
             x_np = np.concatenate(
                 [x_np, np.repeat(x_np[-1:], n_pad - n, axis=0)], axis=0
             )
+        return x_np, n, bs, chunks, n_pad
+
+    def _predict_normalised(self, x_np: np.ndarray) -> np.ndarray:
+        """Run the model over all cases; input/output are NHWC numpy."""
+        x_np, n, bs, chunks, n_pad = self._pad_cases(x_np)
         key = ("predict", x_np.shape, bs)  # includes padded N -> chunk count
         if key not in self._apply_cache:
 
             @jax.jit
-            def run(x):
+            def run(params, state, x):
                 xb = x.reshape((chunks, bs) + x.shape[1:])
-                yb = jax.lax.map(self._forward_eval, xb)
+                yb = jax.lax.map(
+                    lambda b: self._forward_eval_p(params, state, b), xb
+                )
                 return yb.reshape((n_pad,) + yb.shape[2:])
 
             self._apply_cache[key] = run
-        out = np.asarray(self._apply_cache[key](jnp.asarray(x_np)))
+        out = np.asarray(
+            self._apply_cache[key](self.params, self.state, jnp.asarray(x_np))
+        )
         return out[:n]
 
     def _predict_denorm_nchw(self, x_np: np.ndarray, lo: float, hi: float):
@@ -136,27 +153,24 @@ class BaseModel:
         the reference's per-batch score loop + host-side denormalise
         (``base_model.py:145-152``) collapsed into the compiled graph.
         """
-        n = x_np.shape[0]
-        bs = max(1, int(self.batch_size))
-        chunks = max(1, math.ceil(n / bs))
-        n_pad = chunks * bs
-        if n_pad != n:
-            x_np = np.concatenate(
-                [x_np, np.repeat(x_np[-1:], n_pad - n, axis=0)], axis=0
-            )
+        x_np, n, bs, chunks, n_pad = self._pad_cases(x_np)
         key = ("predict_denorm", x_np.shape, bs, float(lo), float(hi))
         if key not in self._apply_cache:
 
             @jax.jit
-            def run(x):
+            def run(params, state, x):
                 xb = x.reshape((chunks, bs) + x.shape[1:])
-                yb = jax.lax.map(self._forward_eval, xb)
+                yb = jax.lax.map(
+                    lambda b: self._forward_eval_p(params, state, b), xb
+                )
                 yb = lo + yb * (hi - lo)
                 yb = yb.reshape((n_pad,) + yb.shape[2:])
                 return jnp.transpose(yb, (0, 3, 1, 2))
 
             self._apply_cache[key] = run
-        out = np.asarray(self._apply_cache[key](jnp.asarray(x_np)))
+        out = np.asarray(
+            self._apply_cache[key](self.params, self.state, jnp.asarray(x_np))
+        )
         return out[:n]
 
     # ---- evaluation (base_model.py:69-100) --------------------------------

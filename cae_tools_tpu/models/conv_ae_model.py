@@ -196,12 +196,12 @@ class ConvAEModel(BaseModel):
         self.params = {"encoder": enc_p, "decoder": dec_p}
         self.state = {"encoder": enc_s, "decoder": dec_s}
 
-    def _forward_eval(self, x):
+    def _forward_eval_p(self, params, state, x):
         z, _ = self.encoder.apply(
-            self.params["encoder"], self.state["encoder"], x, train=False
+            params["encoder"], state["encoder"], x, train=False
         )
         y, _ = self.decoder.apply(
-            self.params["decoder"], self.state["decoder"], z, train=False
+            params["decoder"], state["decoder"], z, train=False
         )
         return y
 

@@ -124,8 +124,8 @@ class SRCNNRes(BaseModel):
         self._apply_cache = {}
         super().load(from_folder)
 
-    def _forward_eval(self, x):
-        y, _ = self.net.apply(self.params, self.state, x, train=False)
+    def _forward_eval_p(self, params, state, x):
+        y, _ = self.net.apply(params, state, x, train=False)
         return y
 
     def _make_loss_fn(self):

@@ -156,8 +156,8 @@ class UNET(BaseModel):
         )
         return out, {"encoder": enc_s, "decoder": dec_s}
 
-    def _forward_eval(self, x):
-        y, _ = self._net_apply(self.params, self.state, x, train=False)
+    def _forward_eval_p(self, params, state, x):
+        y, _ = self._net_apply(params, state, x, train=False)
         return y
 
     def _make_loss_fn(self):

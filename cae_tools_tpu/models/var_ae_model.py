@@ -103,12 +103,12 @@ class VarAEModel(ConvAEModel):
             self.spec.get_output_layers(), self.encoded_dim_size, self.fc_size
         )
 
-    def _forward_eval(self, x):
+    def _forward_eval_p(self, params, state, x):
         (mu, _logvar), _ = self.encoder.apply(
-            self.params["encoder"], self.state["encoder"], x, train=False
+            params["encoder"], state["encoder"], x, train=False
         )
         y, _ = self.decoder.apply(
-            self.params["decoder"], self.state["decoder"], mu, train=False
+            params["decoder"], state["decoder"], mu, train=False
         )
         return y
 

@@ -203,38 +203,45 @@ class Trainer:
         train_w = batch_weights(n, n_pad, cfg.batch_size, steps)
         test_w = batch_weights(tn, tn_pad, cfg.batch_size, tsteps)
 
-        def epoch_fn(carry, rng):
-            params, state, opt_state = carry
-            perm_rng, drop_rng = jax.random.split(rng)
-            perm = jax.random.permutation(perm_rng, n)
-            idx = jnp.concatenate(
-                [perm, jnp.broadcast_to(perm[:1], (n_pad - n,))]
-            ).reshape(steps, cfg.batch_size)
-            step_rngs = jax.random.split(drop_rng, steps)
+        # NOTE: the dataset is passed as a jit *argument*, never a closure —
+        # closed-over device arrays are baked into the HLO as constants,
+        # which bloats the program (and overflows remote-compile payload
+        # limits on the tunneled-TPU environment) at production data sizes.
+        def epoch_fn(data):
+            def fn(carry, rng):
+                params, state, opt_state = carry
+                perm_rng, drop_rng = jax.random.split(rng)
+                perm = jax.random.permutation(perm_rng, n)
+                idx = jnp.concatenate(
+                    [perm, jnp.broadcast_to(perm[:1], (n_pad - n,))]
+                ).reshape(steps, cfg.batch_size)
+                step_rngs = jax.random.split(drop_rng, steps)
 
-            def step_fn(c, scan_in):
-                params, state, opt_state = c
-                bidx, bw, brng = scan_in
-                batch = {k: v[bidx] for k, v in train_data.items()}
-                batch["w"] = bw
-                (loss, (new_state, aux)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, state, brng, batch, True)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, new_state, opt_state), (loss, aux)
+                def step_fn(c, scan_in):
+                    params, state, opt_state = c
+                    bidx, bw, brng = scan_in
+                    batch = {k: v[bidx] for k, v in data.items()}
+                    batch["w"] = bw
+                    (loss, (new_state, aux)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, state, brng, batch, True)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, new_state, opt_state), (loss, aux)
 
-            (params, state, opt_state), (losses, auxes) = jax.lax.scan(
-                step_fn, (params, state, opt_state), (idx, train_w, step_rngs)
-            )
-            epoch_loss = jnp.mean(losses)
-            epoch_aux = jax.tree_util.tree_map(jnp.mean, auxes)
-            return (params, state, opt_state), (epoch_loss, epoch_aux)
+                (params, state, opt_state), (losses, auxes) = jax.lax.scan(
+                    step_fn, (params, state, opt_state), (idx, train_w, step_rngs)
+                )
+                epoch_loss = jnp.mean(losses)
+                epoch_aux = jax.tree_util.tree_map(jnp.mean, auxes)
+                return (params, state, opt_state), (epoch_loss, epoch_aux)
+
+            return fn
 
         @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0,))
-        def run_epochs(carry, rng, n_epochs):
+        def run_epochs(carry, rng, data, n_epochs):
             rngs = jax.random.split(rng, n_epochs)
-            carry, (losses, auxes) = jax.lax.scan(epoch_fn, carry, rngs)
+            carry, (losses, auxes) = jax.lax.scan(epoch_fn(data), carry, rngs)
             return carry, (losses[-1], jax.tree_util.tree_map(lambda a: a[-1], auxes))
 
         test_idx = jnp.concatenate(
@@ -242,10 +249,10 @@ class Trainer:
         ).reshape(tsteps, cfg.batch_size)
 
         @jax.jit
-        def eval_loss(params, state):
+        def eval_loss(params, state, data):
             def step_fn(_, scan_in):
                 bidx, bw = scan_in
-                batch = {k: v[bidx] for k, v in test_data.items()}
+                batch = {k: v[bidx] for k, v in data.items()}
                 batch["w"] = bw
                 loss, (_, aux) = loss_fn(
                     params, state, jax.random.PRNGKey(0), batch, False
@@ -278,13 +285,13 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 with self.meter.measure(images=chunk * n, steps=chunk * steps):
                     carry, (train_loss, train_aux) = run_epochs(
-                        carry, sub, n_epochs=chunk
+                        carry, sub, train_data, n_epochs=chunk
                     )
                     jax.block_until_ready(carry[0])
                 epoch += chunk
                 e_now = epoch - 1
                 if e_now % cfg.test_interval == 0:
-                    test_loss, test_aux = eval_loss(carry[0], carry[1])
+                    test_loss, test_aux = eval_loss(carry[0], carry[1], test_data)
                     train_loss = float(train_loss)
                     test_loss = float(test_loss)
                     history["train_loss"].append(train_loss)

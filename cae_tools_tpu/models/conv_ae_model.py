@@ -23,15 +23,13 @@ import json
 import os
 import time
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
 from ..data.dataset import ArrayDataset
 from ..nn import modules as M
 from ..nn import torchio
-from ..train.loop import TrainConfig, Trainer
+from ..train.loop import TrainConfig
 from ..utils.model_database import ModelDatabase
 from .base import BaseModel
 from .sizer import ModelSpec, create_model_spec

@@ -19,7 +19,6 @@ import numpy as np
 from ..data.dataset import ArrayDataset
 from ..utils.html import (
     Html5Builder,
-    InlineImageFragment,
     PIXELATED_IMG_STYLE,
     TableFragment,
     figure_fragment,

@@ -31,7 +31,7 @@ from ..data.dataset import ArrayDataset
 from ..nn import modules as M
 from ..nn import torchio
 from ..ops import losses as L
-from ..train.loop import TrainConfig, Trainer
+from ..train.loop import TrainConfig
 from ..utils.model_database import ModelDatabase
 from .base import BaseModel
 from .sizer import ModelSpec, create_model_spec

@@ -20,18 +20,14 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
-import jax
 import jax.numpy as jnp
 
-from ..data.dataset import ArrayDataset
 from ..nn import modules as M
 from ..nn import torchio
 from ..ops import msssim as msssim_ops
-from ..train.loop import TrainConfig, Trainer
 from .conv_ae_model import ConvAEModel
-from .sizer import ModelSpec, create_model_spec
+from .sizer import ModelSpec
 
 
 class VarAEModel(ConvAEModel):

@@ -20,7 +20,6 @@ XLA lowers both primitives onto the MXU; f32 accumulation is requested via
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -16,8 +16,6 @@ Inputs are NHWC.  ``msssim`` returns a scalar averaged over batch+channels.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -42,7 +40,12 @@ _MAX_PIXELS = 512 * 512
 
 
 def _scale_kernel(x_ref, y_ref, ssim_ref, cs_ref, *, h, w, win, c1, c2):
-    """Compute mean SSIM and mean CS for one (h, w) image pair."""
+    """Compute mean SSIM and mean CS for one (h, w) image pair.
+
+    Outputs are full (N, 1) SMEM arrays written at ``program_id`` — TPU
+    lowering requires scalar-ish output blocks to span the whole array.
+    """
+    i = pl.program_id(0)
     x = x_ref[0]  # (h, w)
     y = y_ref[0]
 
@@ -72,8 +75,8 @@ def _scale_kernel(x_ref, y_ref, ssim_ref, cs_ref, *, h, w, win, c1, c2):
     ssim_map = ((2.0 * mu_x * mu_y + c1) / (mu_x * mu_x + mu_y * mu_y + c1)) * cs_map
 
     denom = float(hv * wv)
-    ssim_ref[0, 0] = jnp.sum(ssim_map) / denom
-    cs_ref[0, 0] = jnp.sum(cs_map) / denom
+    ssim_ref[i, 0] = jnp.sum(ssim_map) / denom
+    cs_ref[i, 0] = jnp.sum(cs_map) / denom
 
 
 @functools.partial(jax.jit, static_argnames=("data_range", "interpret"))
@@ -99,8 +102,8 @@ def _ssim_scale_pallas(x, y, data_range=1.0, interpret=False):
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n * c, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n * c, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n * c, 1), jnp.float32),

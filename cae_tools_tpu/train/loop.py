@@ -29,7 +29,7 @@ where ``batch`` maps array names ("x", "y", "m", ...) to a batch slice plus
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Optional
 
@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+from ..parallel.mesh import batch_sharding, replicated_sharding
 
 
 @dataclass

@@ -1,0 +1,73 @@
+"""TPU-native checkpointing (orbax) alongside the reference folder format.
+
+The reference's model-folder format (torch state_dicts + JSON sidecars) is
+the *interop* surface and stays the default.  For large mesh-sharded
+training runs, this module adds orbax-backed checkpoints: sharded arrays are
+saved/restored without gathering to a single host buffer, and an optimizer
+state can be included for exact resume (the reference's
+``--continue-training`` restarts the optimizer from scratch,
+``cli/train_cae.py:111-125`` — orbax resume continues the Adam moments).
+
+Layout: ``<model_folder>/orbax/<step>/`` managed by
+``orbax.checkpoint.CheckpointManager``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def _manager(folder, max_to_keep=3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(os.path.join(folder, "orbax")),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        ),
+    )
+
+
+def save_checkpoint(folder, step: int, params, state, opt_state=None):
+    """Save a (possibly sharded) train snapshot under ``folder/orbax``."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(folder)
+    payload = {"params": params, "state": state}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    mgr.close()
+    return step
+
+
+def latest_step(folder) -> Optional[int]:
+    import orbax.checkpoint as ocp  # noqa: F401
+
+    mgr = _manager(folder)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(folder, step: Optional[int] = None, template=None):
+    """Restore a snapshot; ``template`` (matching pytree of arrays) guides
+    sharding/dtype restoration when provided."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(folder)
+    if step is None:
+        step = mgr.latest_step()
+        if step is None:
+            mgr.close()
+            raise FileNotFoundError(f"no orbax checkpoint under {folder}")
+    if template is not None:
+        restored = mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+    else:
+        restored = mgr.restore(step)
+    mgr.close()
+    return restored

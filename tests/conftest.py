@@ -44,7 +44,15 @@ def data_root():
 @pytest.fixture(scope="session")
 def circle_data(data_root):
     """Small circle-geometry train/test netCDF fixtures (generated once)."""
+    import os
+
     from cae_tools_tpu.data.datagen import generate_spec_files
 
-    folder = generate_spec_files("circle", data_root, n=40, seed=1234)
+    n = 12
+    folder = generate_spec_files("circle", data_root, n=n, seed=1234)
+    # regenerate if a stale fixture with a different case count exists
+    from cae_tools_tpu.xrcompat import xr
+
+    if xr.open_dataset(os.path.join(folder, "train.nc"))["hires"].shape[0] != n:
+        generate_spec_files("circle", data_root, n=n, seed=1234, force=True)
     return folder

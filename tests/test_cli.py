@@ -15,12 +15,8 @@ from cae_tools_tpu.xrcompat import xr
 
 
 @pytest.fixture(scope="module")
-def data(tmp_path_factory):
-    from cae_tools_tpu.data.datagen import generate_spec_files
-
-    root = str(tmp_path_factory.mktemp("clidata"))
-    folder = generate_spec_files("circle", root, n=12, seed=42)
-    return folder
+def data(circle_data):
+    return circle_data
 
 
 @pytest.mark.parametrize("method", ["linear", "conv", "var"])

@@ -63,8 +63,8 @@ def test_datagen_circle(circle_data):
     ds = xr.open_dataset(circle_data + "/train.nc")
     lo = ds["lowres"].values
     hi = ds["hires"].values
-    assert lo.shape == (40, 1, 16, 16)
-    assert hi.shape == (40, 1, 256, 256)
+    assert lo.shape == (12, 1, 16, 16)
+    assert hi.shape == (12, 1, 256, 256)
     # SST-like value range
     assert 280 < lo.mean() < 300
     # coarsening consistency: the 16x16 input is a block-mean of the common
@@ -76,9 +76,9 @@ def test_array_dataset_normalisation(circle_data):
     ds = xr.open_dataset(circle_data + "/train.nc")
     ads = ArrayDataset(ds, ["lowres"], "hires")
     x, y, m = ads.arrays_nhwc()
-    assert x.shape == (40, 16, 16, 1)
-    assert y.shape == (40, 256, 256, 1)
-    assert m.shape == (40, 256, 256, 1)
+    assert x.shape == (12, 16, 16, 1)
+    assert y.shape == (12, 256, 256, 1)
+    assert m.shape == (12, 256, 256, 1)
     assert x.min() >= 0.0 and x.max() <= 1.0
     assert y.min() >= 0.0 and y.max() <= 1.0
     # denormalise round-trips
@@ -100,7 +100,7 @@ def test_array_dataset_multichannel_concat(circle_data):
     ads = ArrayDataset(ds, ["lowres", "aux"], "hires")
     assert ads.get_input_shape() == (2, 16, 16)
     x, _, _ = ads.arrays_nhwc()
-    assert x.shape == (40, 16, 16, 2)
+    assert x.shape == (12, 16, 16, 2)
     # both channels normalised to [0, 1] independently
     assert x[..., 0].min() >= 0 and x[..., 1].max() <= 1.0
     # denormalise_input restores per-variable ranges (fix of reference bug)

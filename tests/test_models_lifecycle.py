@@ -25,12 +25,8 @@ CHECKPOINT_FILES_COMMON = [
 
 
 @pytest.fixture(scope="module")
-def small_circle(tmp_path_factory):
-    from cae_tools_tpu.data.datagen import generate_spec_files
-
-    root = str(tmp_path_factory.mktemp("data"))
-    folder = generate_spec_files("circle", root, n=20, seed=99)
-    return folder
+def small_circle(circle_data):
+    return circle_data
 
 
 def _load(folder, name):
@@ -41,7 +37,7 @@ def test_linear_lifecycle(small_circle, tmp_path):
     train_ds = _load(small_circle, "train.nc")
     test_ds = _load(small_circle, "test.nc")
 
-    mt = LinearModel(batch_size=8, nr_epochs=30, test_interval=10, lr=0.05)
+    mt = LinearModel(batch_size=6, nr_epochs=30, test_interval=10, lr=0.05)
     mt.train(["lowres"], "hires", train_ds, test_ds)
 
     assert mt.summary().startswith("Model Summary:")
@@ -68,7 +64,7 @@ def test_linear_lifecycle(small_circle, tmp_path):
     score_ds = _load(small_circle, "test.nc")
     mt2.apply(score_ds, ["lowres"], "prediction")
     pred = score_ds["prediction"]
-    assert pred.shape == (20, 1, 256, 256)
+    assert pred.shape == (12, 1, 256, 256)
     assert pred.dims[1:] == (
         "model_output_channel",
         "model_output_y",
@@ -98,7 +94,7 @@ def test_linear_lifecycle(small_circle, tmp_path):
 def test_linear_evaluate_metrics(small_circle):
     train_ds = _load(small_circle, "train.nc")
     test_ds = _load(small_circle, "test.nc")
-    mt = LinearModel(batch_size=10, nr_epochs=60, test_interval=20, lr=0.05)
+    mt = LinearModel(batch_size=6, nr_epochs=60, test_interval=20, lr=0.05)
     mt.train(["lowres"], "hires", train_ds, test_ds)
     ads = ArrayDataset(test_ds, ["lowres"], "hires", normalise_out=False)
     ads.set_normalisation_parameters(mt.normalisation_parameters)
@@ -115,7 +111,7 @@ def test_conv_ae_lifecycle(small_circle, tmp_path):
     test_ds = _load(small_circle, "test.nc")
 
     mt = ConvAEModel(
-        batch_size=8,
+        batch_size=6,
         nr_epochs=12,
         test_interval=5,
         encoded_dim_size=4,
@@ -139,7 +135,7 @@ def test_conv_ae_lifecycle(small_circle, tmp_path):
     mt2.load(folder)
     score_ds = _load(small_circle, "test.nc")
     mt2.apply(score_ds, ["lowres"], "prediction")
-    assert score_ds["prediction"].shape == (20, 1, 256, 256)
+    assert score_ds["prediction"].shape == (12, 1, 256, 256)
 
     # loaded model reproduces the saving model's outputs exactly
     score_ds2 = _load(small_circle, "test.nc")
@@ -158,7 +154,7 @@ def test_conv_ae_continue_training(small_circle, tmp_path):
     folder = str(tmp_path / "cont_model")
 
     mt = ConvAEModel(
-        batch_size=10, nr_epochs=6, test_interval=3, encoded_dim_size=4, fc_size=16
+        batch_size=6, nr_epochs=6, test_interval=3, encoded_dim_size=4, fc_size=16
     )
     mt.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
     first_len = len(mt.history["train_loss"])
@@ -179,7 +175,7 @@ def test_database_tracking(small_circle, tmp_path):
     db_path = str(tmp_path / "models.db")
     train_ds = _load(small_circle, "train.nc")
     test_ds = _load(small_circle, "test.nc")
-    mt = LinearModel(batch_size=10, nr_epochs=4, test_interval=2, database_path=db_path)
+    mt = LinearModel(batch_size=6, nr_epochs=4, test_interval=2, database_path=db_path)
     mt.train(
         ["lowres"], "hires", train_ds, test_ds,
         training_paths="train.nc", testing_paths="test.nc",

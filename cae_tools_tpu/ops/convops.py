@@ -25,10 +25,13 @@ from jax import lax
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
-# Module-level precision for conv/matmul ops.  "highest" gives f32-exact
-# results on TPU (needed for the <=1e-5 parity target vs the CPU reference);
-# benchmarks may lower it for speed via `set_precision`.
-_PRECISION = lax.Precision.HIGHEST
+# Module-level precision for conv/matmul ops.  Measured on TPU v5e against
+# the torch-CPU f32 reference (16x16->256x256 ConvAE forward):
+#   highest: 1.1e-6 max err, 1.00x speed   (6-pass bf16)
+#   high:    1.4e-6 max err, 1.66x speed   (3-pass bf16) <- default
+#   default: 9.3e-5 max err, 2.93x speed   (1-pass bf16, above 1e-5 target)
+# "high" keeps the <=1e-5 output-parity contract with a 66% throughput win.
+_PRECISION = lax.Precision.HIGH
 
 
 def set_precision(precision):

@@ -128,6 +128,7 @@ class ArrayDataset:
         (self.min_inputs, self.max_inputs, self.min_output, self.max_output) = tuple(
             parameters
         )
+        self._norm_version = getattr(self, "_norm_version", 0) + 1
 
     # ---- shapes ----------------------------------------------------------
     def get_input_shape(self):
@@ -206,8 +207,20 @@ class ArrayDataset:
         NHWC is the TPU-native conv layout; the NCHW<->NHWC transpose happens
         exactly once here, on the host, before the single device transfer.
         Uses the fused C++ normalise+pack when built (cae_tools_tpu.native),
-        falling back to numpy.
+        falling back to numpy.  Results are memoised per normalisation
+        configuration (train() packs and then evaluate() re-requests the
+        same arrays — don't redo the multi-GB host pass).
         """
+        cache_key = (
+            self.normalise_in,
+            self.normalise_out,
+            getattr(self, "_norm_version", 0),
+        )
+        cache = getattr(self, "_nhwc_cache", None)
+        if cache is None:
+            cache = self._nhwc_cache = {}
+        if cache_key in cache:
+            return cache[cache_key]
         x = np.empty(
             (self.n, self.input_y, self.input_x, self.input_chan), np.float32
         )
@@ -246,6 +259,7 @@ class ArrayDataset:
         )
         if not native.normalize_pack(msrc, m, 0.0, 1.0, 0):
             m = np.ascontiguousarray(msrc.transpose(0, 2, 3, 1))
+        cache[cache_key] = (x, y, m)
         return x, y, m
 
     # ---- per-item access (evaluation/report parity) ----------------------

@@ -243,6 +243,11 @@ class HyperOptimizer:
 
     def _log(self, record):
         if self.log_path:
+            import os
+
+            parent = os.path.dirname(self.log_path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
             with open(self.log_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
 

@@ -125,16 +125,29 @@ class VarAEModel(ConvAEModel):
             if min_hw // (2 ** (lv - 1)) >= 11:
                 levels = lv
                 break
+        # per-sample SSIM values so zero-weight padding rows are excluded
         if levels >= 2:
             weights = msssim_ops.MSSSIM_WEIGHTS[:levels]
             weights = tuple(w / sum(weights) for w in weights)
-            ssim_term = lambda out, y: 1.0 - msssim_ops.msssim(
-                out, y, data_range=1.0, weights=weights
-            )
+
+            def ssim_per_sample(out, y):
+                return jnp.mean(
+                    msssim_ops.msssim(
+                        out, y, data_range=1.0, weights=weights, average=False
+                    ),
+                    axis=1,
+                )
+
         elif levels == 1:
-            ssim_term = lambda out, y: 1.0 - msssim_ops.ssim(out, y, data_range=1.0)
+
+            def ssim_per_sample(out, y):
+                return jnp.mean(
+                    msssim_ops.ssim(out, y, data_range=1.0, average=False),
+                    axis=1,
+                )
+
         else:
-            ssim_term = lambda out, y: 0.0
+            ssim_per_sample = None
 
         def loss_fn(params, state, rng, batch, train):
             (mu, logvar), enc_s = encoder.apply(
@@ -152,7 +165,11 @@ class VarAEModel(ConvAEModel):
                 1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1
             )
             kl = jnp.sum(per_kl * w) / wsum
-            ssim_loss = ssim_term(out, batch["y"])
+            if ssim_per_sample is not None:
+                per_ssim = ssim_per_sample(out, batch["y"])
+                ssim_loss = 1.0 - jnp.sum(per_ssim * w) / wsum
+            else:
+                ssim_loss = 0.0
             loss = lambda_mse * mse + lambda_kl * kl + lambda_ssim * ssim_loss
             aux = {"mse": mse, "kl": kl, "ssim_loss": ssim_loss}
             return loss, ({"encoder": enc_s, "decoder": dec_s}, aux)

@@ -133,7 +133,9 @@ def save_state_dict(path, sd: dict):
             tensors[k] = t
         torch.save(tensors, path)
     else:  # pragma: no cover
-        np.savez(path, **{k: np.asarray(v) for k, v in sd.items()})
+        # write through a file handle so numpy does not append ".npz"
+        with open(path, "wb") as f:
+            np.savez(f, **{k: np.asarray(v) for k, v in sd.items()})
 
 
 def load_state_dict(path) -> dict:
@@ -369,9 +371,15 @@ def var_encoder_from_state_dict(module, sd) -> tuple:
 def flatten_pytree(tree, prefix="") -> dict:
     out = {}
     if isinstance(tree, dict):
+        if not tree:
+            out[prefix + "__empty_dict__"] = np.zeros((0,), np.float32)
+            return out
         for k, v in tree.items():
             out.update(flatten_pytree(v, f"{prefix}{k}."))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            out[prefix + "__empty_list__"] = np.zeros((0,), np.float32)
+            return out
         for i, v in enumerate(tree):
             out.update(flatten_pytree(v, f"{prefix}{i}."))
     elif tree is None:
@@ -400,6 +408,10 @@ def unflatten_pytree(flat: dict):
             ]
         if set(node.keys()) == {"__none__"}:
             return None
+        if set(node.keys()) == {"__empty_list__"}:
+            return []
+        if set(node.keys()) == {"__empty_dict__"}:
+            return {}
         return {k: normalise(v) for k, v in node.items()}
 
     return normalise(root)

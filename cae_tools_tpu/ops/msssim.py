@@ -73,15 +73,19 @@ def _ssim_terms(x, y, win, data_range, k1=0.01, k2=0.03):
     return jnp.mean(ssim_map, axis=(1, 2)), jnp.mean(cs, axis=(1, 2))
 
 
-def ssim(x, y, data_range=1.0, win_size=11, sigma=1.5):
-    """Mean SSIM over the batch; NHWC inputs."""
+def ssim(x, y, data_range=1.0, win_size=11, sigma=1.5, average=True):
+    """SSIM over the batch; NHWC inputs.
+
+    ``average=False`` returns the per-(batch, channel) values instead of the
+    scalar mean (e.g. for weighted reductions over padded batches).
+    """
     if min(x.shape[1], x.shape[2]) < win_size:
         raise ValueError(
             f"image {x.shape[1]}x{x.shape[2]} smaller than SSIM window {win_size}"
         )
     win = jnp.asarray(_gaussian_kernel(win_size, sigma))
     s, _ = _ssim_terms(x, y, win, data_range)
-    return jnp.mean(s)
+    return jnp.mean(s) if average else s
 
 
 def _avg_pool2(x):
@@ -90,8 +94,14 @@ def _avg_pool2(x):
     ) / 4.0
 
 
-def msssim(x, y, data_range=1.0, win_size=11, sigma=1.5, weights=MSSSIM_WEIGHTS):
-    """Multi-scale SSIM (Wang et al. 2003), mean over batch+channels."""
+def msssim(
+    x, y, data_range=1.0, win_size=11, sigma=1.5, weights=MSSSIM_WEIGHTS,
+    average=True,
+):
+    """Multi-scale SSIM (Wang et al. 2003), mean over batch+channels.
+
+    ``average=False`` returns the per-(batch, channel) values.
+    """
     min_hw = min(x.shape[1], x.shape[2]) // (2 ** (len(weights) - 1))
     if min_hw < win_size:
         raise ValueError(
@@ -114,7 +124,7 @@ def msssim(x, y, data_range=1.0, win_size=11, sigma=1.5, weights=MSSSIM_WEIGHTS)
             val = jax.nn.relu(s)
     stack = jnp.stack(mcs + [val], axis=0)  # (levels, N, C)
     out = jnp.prod(stack ** weights[:, None, None], axis=0)
-    return jnp.mean(out)
+    return jnp.mean(out) if average else out
 
 
 def msssim_loss(pred, target, data_range=1.0):

@@ -149,10 +149,12 @@ class Trainer:
 
     def _place(self, data: dict):
         if self.mesh is not None:
-            return {
-                k: jax.device_put(v, batch_sharding(self.mesh, np.ndim(v)))
-                for k, v in data.items()
-            }
+            # shard_batch pads the leading axis to a mesh-divisible size by
+            # repeating rows; padded rows are never indexed (batch index
+            # plans only reference the first n real cases)
+            from ..parallel.mesh import shard_batch
+
+            return {k: shard_batch(self.mesh, np.asarray(v)) for k, v in data.items()}
         return {k: jnp.asarray(v) for k, v in data.items()}
 
     # ------------------------------------------------------------------
@@ -322,6 +324,10 @@ class Trainer:
                             jax.tree_util.tree_map(float, test_aux),
                             float(self.lr_for_epoch(e_now)),
                         )
+        except KeyboardInterrupt:
+            # preserve partially-trained weights (reference unet.py:483-507
+            # semantics): stop cleanly, return the current carry
+            print("Training interrupted. Performing cleanup...")
         finally:
             profile_ctx.__exit__(None, None, None)
         params, state, opt_state = carry

@@ -88,6 +88,21 @@ class StreamingTrainer(Trainer):
 
         def put(batch):
             if self.mesh is not None:
+                n_data = self.mesh.shape["data"]
+                bs = next(iter(batch.values())).shape[0]
+                pad = (-bs) % n_data
+                if pad:
+                    # pad to a mesh-divisible batch; padded rows carry zero
+                    # weight so loss/grad semantics are unchanged
+                    batch = {
+                        k: np.concatenate(
+                            [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
+                            if k == "w"
+                            else [v, np.repeat(v[-1:], pad, axis=0)],
+                            axis=0,
+                        )
+                        for k, v in batch.items()
+                    }
                 return {
                     k: jax.device_put(v, batch_sharding(self.mesh, np.ndim(v)))
                     for k, v in batch.items()
@@ -124,50 +139,70 @@ class StreamingTrainer(Trainer):
         test_order = np.arange(tn)
         train_loss = test_loss = 0.0
         train_aux = test_aux = {}
+        plateau_best = float("inf")
+        plateau_bad = 0
 
-        for epoch in range(nr_epochs):
-            order = host_rng.permutation(n)
-            losses, auxes = [], []
-            rng = jax.random.PRNGKey(cfg.seed * 100003 + epoch)
-            with self.meter.measure(images=n, steps=steps):
-                for batch in prefetched(host_batches(train_data, steps, order)):
-                    rng, sub = jax.random.split(rng)
-                    params, state, opt_state, loss, aux = train_step(
-                        params, state, opt_state, sub, batch
-                    )
-                    losses.append(loss)
-                    auxes.append(aux)
-                jax.block_until_ready(params)
-            train_loss = float(np.mean([float(l) for l in losses]))
-            train_aux = {
-                k: float(np.mean([float(a[k]) for a in auxes]))
-                for k in (auxes[0] if auxes else {})
-            }
-
-            if epoch % cfg.test_interval == 0:
-                tlosses, tauxes = [], []
-                for batch in prefetched(
-                    host_batches(test_data, tsteps, test_order)
-                ):
-                    loss, aux = eval_step(params, state, batch)
-                    tlosses.append(loss)
-                    tauxes.append(aux)
-                test_loss = float(np.mean([float(l) for l in tlosses]))
-                test_aux = {
-                    k: float(np.mean([float(a[k]) for a in tauxes]))
-                    for k in (tauxes[0] if tauxes else {})
+        try:
+            for epoch in range(nr_epochs):
+                order = host_rng.permutation(n)
+                losses, auxes = [], []
+                rng = jax.random.PRNGKey(cfg.seed * 100003 + epoch)
+                with self.meter.measure(images=n, steps=steps):
+                    for batch in prefetched(host_batches(train_data, steps, order)):
+                        rng, sub = jax.random.split(rng)
+                        params, state, opt_state, loss, aux = train_step(
+                            params, state, opt_state, sub, batch
+                        )
+                        losses.append(loss)
+                        auxes.append(aux)
+                    jax.block_until_ready(params)
+                train_loss = float(np.mean([float(l) for l in losses]))
+                train_aux = {
+                    k: float(np.mean([float(a[k]) for a in auxes]))
+                    for k in (auxes[0] if auxes else {})
                 }
-                history["train_loss"].append(train_loss)
-                history["test_loss"].append(test_loss)
-                if log_fn is not None:
-                    log_fn(
-                        epoch_offset + epoch,
-                        train_loss,
-                        test_loss,
-                        train_aux,
-                        test_aux,
-                        float(self.lr_for_epoch(epoch)),
-                    )
+
+                if epoch % cfg.test_interval == 0:
+                    tlosses, tauxes = [], []
+                    for batch in prefetched(
+                        host_batches(test_data, tsteps, test_order)
+                    ):
+                        loss, aux = eval_step(params, state, batch)
+                        tlosses.append(loss)
+                        tauxes.append(aux)
+                    test_loss = float(np.mean([float(l) for l in tlosses]))
+                    test_aux = {
+                        k: float(np.mean([float(a[k]) for a in tauxes]))
+                        for k in (tauxes[0] if tauxes else {})
+                    }
+                    history["train_loss"].append(train_loss)
+                    history["test_loss"].append(test_loss)
+                    if cfg.schedule == "plateau":
+                        improved = test_loss < plateau_best * (
+                            1.0 - cfg.plateau_threshold
+                        )
+                        if improved:
+                            plateau_best = test_loss
+                            plateau_bad = 0
+                        else:
+                            plateau_bad += 1
+                            if plateau_bad > cfg.plateau_patience:
+                                self._current_lr *= cfg.plateau_factor
+                                plateau_bad = 0
+                                opt_state.hyperparams["learning_rate"] = (
+                                    jnp.asarray(self._current_lr, jnp.float32)
+                                )
+                    if log_fn is not None:
+                        log_fn(
+                            epoch_offset + epoch,
+                            train_loss,
+                            test_loss,
+                            train_aux,
+                            test_aux,
+                            float(self.lr_for_epoch(epoch)),
+                        )
+        except KeyboardInterrupt:
+            print("Training interrupted. Performing cleanup...")
 
         return params, state, float(train_loss), float(test_loss)
 

@@ -40,6 +40,9 @@ def _depthwise_blur(x, win, axis):
     else:
         k = win.reshape(1, -1, 1, 1)
     k = jnp.broadcast_to(k, k.shape[:2] + (1, c))
+    # HIGHEST precision is required: the SSIM variance terms are computed by
+    # cancellation (blur(x^2) - mu^2); bf16 blurs (TPU default) destroy them
+    # (verified on v5e: ~5e-3 absolute error in the per-image SSIM)
     return lax.conv_general_dilated(
         x,
         k,
@@ -47,6 +50,8 @@ def _depthwise_blur(x, win, axis):
         padding="VALID",
         dimension_numbers=_DIMNUMS,
         feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
 
 

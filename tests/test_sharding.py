@@ -115,3 +115,18 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process():
+    from cae_tools_tpu.parallel import multihost
+
+    # single-process: initialize is a no-op returning False
+    assert multihost.initialize() is False
+    assert multihost.is_primary()
+
+    mesh = get_mesh(n_data=8, n_model=1)
+    local = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = multihost.global_batch_from_local(mesh, local)
+    assert arr.shape == (16, 3)
+    assert arr.sharding.spec == jax.sharding.PartitionSpec("data", None)
+    np.testing.assert_allclose(np.asarray(arr), local)

@@ -26,6 +26,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.dataset import ArrayDataset
 from ..nn import modules as M
@@ -362,7 +363,13 @@ class UNET(BaseModel):
         torchio.save_state_dict(
             os.path.join(to_folder, "decoder.weights"),
             torchio.flatten_pytree(
-                {"params": self.params["decoder"], "state": self.state["decoder"]}
+                {
+                    "params": self.params["decoder"],
+                    "state": self.state["decoder"],
+                    "compat_concat": np.asarray(
+                        1 if self.decoder.compat_concat else 0, np.int64
+                    ),
+                }
             ),
         )
         with open(os.path.join(to_folder, "normalisation.weights"), "w") as f:
@@ -411,14 +418,32 @@ class UNET(BaseModel):
             self.spec.load(json.loads(f.read()))
 
         self._build_modules()
-        enc = torchio.unflatten_pytree(
-            torchio.load_state_dict(os.path.join(from_folder, "encoder.weights"))
+        enc_sd = torchio.load_state_dict(
+            os.path.join(from_folder, "encoder.weights")
         )
-        dec = torchio.unflatten_pytree(
-            torchio.load_state_dict(os.path.join(from_folder, "decoder.weights"))
+        dec_sd = torchio.load_state_dict(
+            os.path.join(from_folder, "decoder.weights")
         )
-        self.params = {"encoder": enc["params"], "decoder": dec["params"]}
-        self.state = {"encoder": enc["state"], "decoder": dec["state"]}
+        if any(k.startswith("encoder_cnn.") for k in enc_sd):
+            # reference-written checkpoint (unet.py:551-633 torch format,
+            # hand-authored spec): rebuild with the raw-concat compat decoder
+            self.decoder.compat_concat = True
+            enc_p, enc_s = torchio.unet_encoder_from_state_dict(
+                self.encoder, enc_sd
+            )
+            dec_p, dec_s = torchio.unet_decoder_compat_from_state_dict(
+                self.decoder, dec_sd
+            )
+            self.params = {"encoder": enc_p, "decoder": dec_p}
+            self.state = {"encoder": enc_s, "decoder": dec_s}
+        else:
+            enc = torchio.unflatten_pytree(enc_sd)
+            dec = torchio.unflatten_pytree(dec_sd)
+            self.params = {"encoder": enc["params"], "decoder": dec["params"]}
+            self.state = {"encoder": enc["state"], "decoder": dec["state"]}
+            self.decoder.compat_concat = bool(
+                dec.get("compat_concat", False)
+            )
         self._apply_cache = {}
         super().load(from_folder)
 

@@ -547,6 +547,12 @@ class UNetDecoder:
     dropout_rate: float = 0.1
     skip_shapes: Sequence[tuple] = field(default_factory=list)  # [(C,Y,X)] encoder order
     final_sigmoid: bool = True  # False for residual heads (UNETRes)
+    #: reference-compatible mode (``unet.py:114-163``): raw attention-gated
+    #: concat with NO 1x1 project/fuse convs.  Requires a hand-authored spec
+    #: whose channel arithmetic accounts for the concat doubling (each
+    #: stage's skip channel count equals its ConvT output channel count, and
+    #: the next stage's input channels equal 2x this stage's output).
+    compat_concat: bool = False
 
     @property
     def unflat_dims(self):
@@ -580,6 +586,7 @@ class UNetDecoder:
         params["fc_bn"] = bp
         state["fc_bn"] = bs
         ki = 4
+        n_skips = len(self.skip_shapes)
         for i, spec in enumerate(self.layers):
             kh, kw = spec.kernel_hw
             cin = spec.get_input_dimensions()[0]
@@ -589,26 +596,39 @@ class UNetDecoder:
             )
             ki += 1
             if i != n_layers - 1:
-                si, sshape = self._stage_skip(i)
-                if si is not None:
-                    sc = sshape[0]
+                if self.compat_concat:
+                    # reference: attention per stage, raw concat, BN(2*cout)
+                    consumes_skip = i < n_skips
                     params["attn"].append(
                         channel_attention_init(keys[ki], cout)
+                        if consumes_skip
+                        else None
                     )
                     ki += 1
-                    params["skip_proj"].append(
-                        conv_params_default(keys[ki], 1, 1, sc, cout)
-                    )
-                    ki += 1
-                    params["fuse"].append(
-                        conv_params_default(keys[ki], 1, 1, 2 * cout, cout)
-                    )
-                    ki += 1
-                else:
-                    params["attn"].append(None)
                     params["skip_proj"].append(None)
                     params["fuse"].append(None)
-                bp, bs = bn_init(cout)
+                    bp, bs = bn_init(2 * cout if consumes_skip else cout)
+                else:
+                    si, sshape = self._stage_skip(i)
+                    if si is not None:
+                        sc = sshape[0]
+                        params["attn"].append(
+                            channel_attention_init(keys[ki], cout)
+                        )
+                        ki += 1
+                        params["skip_proj"].append(
+                            conv_params_default(keys[ki], 1, 1, sc, cout)
+                        )
+                        ki += 1
+                        params["fuse"].append(
+                            conv_params_default(keys[ki], 1, 1, 2 * cout, cout)
+                        )
+                        ki += 1
+                    else:
+                        params["attn"].append(None)
+                        params["skip_proj"].append(None)
+                        params["fuse"].append(None)
+                    bp, bs = bn_init(cout)
                 params["bns"].append(bp)
                 state["bns"].append(bs)
         return params, state
@@ -630,6 +650,7 @@ class UNetDecoder:
         h = h.reshape(h.shape[0], y, x, c)
 
         n_layers = len(self.layers)
+        skips_rev = list(skips)[::-1]  # decoder consumes them reversed
         for i, (spec, cp) in enumerate(zip(self.layers, params["convs"])):
             pad = spec.output_padding_hw
             # reference passes spec.output_padding as ConvT *padding*
@@ -638,7 +659,13 @@ class UNetDecoder:
                 h, cp["w"], stride=spec.get_stride(), padding=pad
             ) + cp["b"]
             if i != n_layers - 1:
-                if params["attn"][i] is not None:
+                if self.compat_concat:
+                    if params["attn"][i] is not None:
+                        # reference order (unet.py:155-161): gate, raw concat
+                        gate = channel_attention_apply(params["attn"][i], h)
+                        h = h * gate
+                        h = jnp.concatenate([h, skips_rev[i]], axis=-1)
+                elif params["attn"][i] is not None:
                     si, _ = self._stage_skip(i)
                     skip = skips[si]
                     gate = channel_attention_apply(params["attn"][i], h)

@@ -305,6 +305,162 @@ def linear_from_state_dict(module, sd) -> dict:
     }
 
 
+def _attn_from_sd(sd, prefix):
+    """ChannelAttention: torch 1x1 Conv2d (out,in,1,1) no-bias -> dense mats."""
+    fc1 = sd[prefix + ".fc1.weight"]  # (hidden, C, 1, 1)
+    fc2 = sd[prefix + ".fc2.weight"]  # (C, hidden, 1, 1)
+    return {
+        "fc1": np.ascontiguousarray(fc1[:, :, 0, 0].T.astype(np.float32)),
+        "fc2": np.ascontiguousarray(fc2[:, :, 0, 0].T.astype(np.float32)),
+    }
+
+
+def _attn_to_sd(sd, prefix, ap):
+    sd[prefix + ".fc1.weight"] = np.ascontiguousarray(
+        np.asarray(ap["fc1"]).T[:, :, None, None]
+    )
+    sd[prefix + ".fc2.weight"] = np.ascontiguousarray(
+        np.asarray(ap["fc2"]).T[:, :, None, None]
+    )
+
+
+def unet_encoder_from_state_dict(module, sd) -> tuple:
+    """Reference UNET Encoder state dict -> UNetEncoder pytree.
+
+    Key layout per ``unet.py:73-100``: ``encoder_cnn`` ModuleList with 4
+    entries per layer (Conv at 4i, BN at 4i+1); ``encoder_lin``: Linear 0,
+    BatchNorm1d 1, Linear 4.
+    """
+    params = {"convs": [], "bns": []}
+    state = {"bns": []}
+    for i in range(len(module.layers)):
+        params["convs"].append(
+            {
+                "w": conv_w_from_torch(sd[f"encoder_cnn.{4*i}.weight"]).astype(
+                    np.float32
+                ),
+                "b": sd[f"encoder_cnn.{4*i}.bias"].astype(np.float32),
+            }
+        )
+        bp, bs = _bn_from_sd(sd, f"encoder_cnn.{4*i+1}")
+        params["bns"].append(bp)
+        state["bns"].append(bs)
+    cyx = module.flat_dims
+    params["fc1"] = {
+        "w": fc_in_from_torch(sd["encoder_lin.0.weight"], cyx).astype(np.float32),
+        "b": sd["encoder_lin.0.bias"].astype(np.float32),
+    }
+    fbp, fbs = _bn_from_sd(sd, "encoder_lin.1")
+    params["fc_bn"] = fbp
+    state["fc_bn"] = fbs
+    params["fc2"] = {
+        "w": plain_fc_from_torch(sd["encoder_lin.4.weight"]).astype(np.float32),
+        "b": sd["encoder_lin.4.bias"].astype(np.float32),
+    }
+    return params, state
+
+
+def unet_encoder_to_state_dict(module, params, state) -> dict:
+    sd = {}
+    for i, (cp, bp, bs) in enumerate(
+        zip(params["convs"], params["bns"], state["bns"])
+    ):
+        sd[f"encoder_cnn.{4*i}.weight"] = conv_w_to_torch(cp["w"])
+        sd[f"encoder_cnn.{4*i}.bias"] = np.asarray(cp["b"])
+        _bn_to_sd(sd, f"encoder_cnn.{4*i+1}", bp, bs)
+    cyx = module.flat_dims
+    sd["encoder_lin.0.weight"] = fc_in_to_torch(params["fc1"]["w"], cyx)
+    sd["encoder_lin.0.bias"] = np.asarray(params["fc1"]["b"])
+    _bn_to_sd(sd, "encoder_lin.1", params["fc_bn"], state["fc_bn"])
+    sd["encoder_lin.4.weight"] = plain_fc_to_torch(params["fc2"]["w"])
+    sd["encoder_lin.4.bias"] = np.asarray(params["fc2"]["b"])
+    return sd
+
+
+def unet_decoder_compat_from_state_dict(module, sd) -> tuple:
+    """Reference UNET Decoder state dict -> UNetDecoder(compat_concat) pytree.
+
+    Key layout per ``unet.py:114-147``: ``decoder_lin`` Linear 0 / BN1d 1 /
+    Linear 4; ``decoder_conv`` ModuleList with ConvT at 4i and BN(2*out) at
+    4i+1 for non-last layers, bare ConvT for the last;
+    ``attention_layers.{j}`` SE gates.
+    """
+    cyx = module.unflat_dims
+    params = {
+        "fc1": {
+            "w": plain_fc_from_torch(sd["decoder_lin.0.weight"]).astype(np.float32),
+            "b": sd["decoder_lin.0.bias"].astype(np.float32),
+        },
+        "fc2": {
+            "w": fc_out_from_torch(sd["decoder_lin.4.weight"], cyx).astype(
+                np.float32
+            ),
+            "b": vec_cyx_from_torch(sd["decoder_lin.4.bias"], cyx).astype(
+                np.float32
+            ),
+        },
+        "convs": [],
+        "bns": [],
+        "attn": [],
+        "skip_proj": [],
+        "fuse": [],
+    }
+    state = {"bns": []}
+    fbp, fbs = _bn_from_sd(sd, "decoder_lin.1")
+    params["fc_bn"] = fbp
+    state["fc_bn"] = fbs
+    n_layers = len(module.layers)
+    attn_idx = 0
+    for i in range(n_layers):
+        params["convs"].append(
+            {
+                "w": convT_w_from_torch(sd[f"decoder_conv.{4*i}.weight"]).astype(
+                    np.float32
+                ),
+                "b": sd[f"decoder_conv.{4*i}.bias"].astype(np.float32),
+            }
+        )
+        if i != n_layers - 1:
+            if f"attention_layers.{attn_idx}.fc1.weight" in sd:
+                params["attn"].append(
+                    _attn_from_sd(sd, f"attention_layers.{attn_idx}")
+                )
+                attn_idx += 1
+            else:
+                params["attn"].append(None)
+            params["skip_proj"].append(None)
+            params["fuse"].append(None)
+            bp, bs = _bn_from_sd(sd, f"decoder_conv.{4*i+1}")
+            params["bns"].append(bp)
+            state["bns"].append(bs)
+    return params, state
+
+
+def unet_decoder_compat_to_state_dict(module, params, state) -> dict:
+    cyx = module.unflat_dims
+    sd = {
+        "decoder_lin.0.weight": plain_fc_to_torch(params["fc1"]["w"]),
+        "decoder_lin.0.bias": np.asarray(params["fc1"]["b"]),
+        "decoder_lin.4.weight": fc_out_to_torch(params["fc2"]["w"], cyx),
+        "decoder_lin.4.bias": vec_cyx_to_torch(params["fc2"]["b"], cyx),
+    }
+    _bn_to_sd(sd, "decoder_lin.1", params["fc_bn"], state["fc_bn"])
+    n_layers = len(module.layers)
+    attn_idx = 0
+    for i in range(n_layers):
+        cp = params["convs"][i]
+        sd[f"decoder_conv.{4*i}.weight"] = convT_w_to_torch(cp["w"])
+        sd[f"decoder_conv.{4*i}.bias"] = np.asarray(cp["b"])
+        if i != n_layers - 1:
+            if params["attn"][i] is not None:
+                _attn_to_sd(sd, f"attention_layers.{attn_idx}", params["attn"][i])
+                attn_idx += 1
+            _bn_to_sd(
+                sd, f"decoder_conv.{4*i+1}", params["bns"][i], state["bns"][i]
+            )
+    return sd
+
+
 def var_encoder_to_state_dict(module, params, state) -> dict:
     """VarAEEncoder pytree -> state dict.
 

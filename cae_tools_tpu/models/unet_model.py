@@ -10,12 +10,14 @@ Parity surface:
  * stdout: the ``test_mse:`` line format that ``hypar_optim.py:82`` regex
    scrapes, plus the ``learn rate:`` line (``unet.py:495-496``)
  * KeyboardInterrupt-safe training (``unet.py:483-507``)
- * model folder: same JSON files; weights files hold this implementation's
-   own state-dict naming (flat pytree keys) because the reference UNET's
-   checkpoint format only exists for hand-authored layer specs — its decoder
-   channel arithmetic does not close for auto-solved specs (SURVEY.md §2
-   quirks); here the skip fusion is spec-closing by construction
-   (`nn.modules.UNetDecoder`).
+ * model folder: same JSON files.  Checkpoints written by the *reference*
+   (torch state dicts per ``unet.py:551-633``, which exist only for
+   hand-authored layer specs whose concat channel math closes) are detected
+   on load and mapped onto the raw-concat compat decoder
+   (``UNetDecoder(compat_concat=True)``); models trained here with
+   auto-solved specs use the spec-closing attention+project+fuse decoder
+   and a flat pytree weights format (the reference has no corresponding
+   architecture to exchange with).
 """
 
 from __future__ import annotations

@@ -63,3 +63,53 @@ def test_hpo_prunes_failures(tmp_path, data):
     best_params, best_value, results = opt.run(n_trials=2)
     assert best_params is None
     assert all(r.get("pruned") for r in results)
+
+
+def test_vmap_trials_mesh_parallel(data):
+    """BASELINE config 5: trials vmapped + sharded across the data mesh."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cae_tools_tpu.hpo.vmap_search import vmap_trials
+    from cae_tools_tpu.nn import modules as M
+    from cae_tools_tpu.parallel.mesh import get_mesh
+    from cae_tools_tpu.xrcompat import xr
+
+    ds = xr.open_dataset(os.path.join(data, "train.nc"))
+    from cae_tools_tpu.data.dataset import ArrayDataset
+
+    ads = ArrayDataset(ds, ["lowres"], "hires")
+    x, y, _ = ads.arrays_nhwc()
+
+    lin = M.LinearMap((1, 16, 16), (1, 256, 256))
+
+    def loss_fn(params, state, rng, batch, train):
+        out, _ = lin.apply(params, state, batch["x"], train)
+        per = jnp.mean((out - batch["y"]) ** 2, axis=(1, 2, 3))
+        w = batch["w"]
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0), ({}, {})
+
+    lrs = [1e-4, 1e-3, 1e-2, 5e-2, 1e-1, 2e-1, 1e-5, 3e-3]
+    wds = [1e-5] * 8
+    losses, params_stack, _ = vmap_trials(
+        loss_fn,
+        lambda r: lin.init(r),
+        {"x": x, "y": y},
+        {"x": x, "y": y},
+        lrs,
+        wds,
+        batch_size=5,
+        nr_epochs=8,
+        mesh=get_mesh(n_data=8, n_model=1),
+    )
+    assert losses.shape == (8,)
+    assert np.isfinite(losses).all()
+    # the sensible learning rates must beat the degenerate ones
+    assert min(losses[1], losses[3]) < losses[6]
+    # per-trial params are independent (stacked on the trials axis)
+    w_stack = np.asarray(params_stack["fc"]["w"])
+    assert w_stack.shape[0] == 8
+    assert not np.allclose(w_stack[0], w_stack[1])

@@ -127,3 +127,31 @@ def test_unet_print_format_scrapeable(small_circle, capsys):
     assert matches, out
     float(matches[-1])
     assert "learn rate:" in out
+
+
+def test_unet_nonsquare_geometry(tmp_path_factory):
+    """Non-square input AND output (BASELINE config 4; circle2-style
+    geometry scaled down): solver emits (ky, kx) tuple kernels and the UNet
+    must train/apply through them."""
+    root = str(tmp_path_factory.mktemp("nsq"))
+    rng = np.random.default_rng(17)
+    n = 8
+    hi = 288.0 + rng.random((n, 1, 56, 48)).astype(np.float32) * 5.0
+    lo = hi.reshape(n, 1, 14, 4, 12, 4).mean(axis=(3, 5))  # 14x12 input
+    for name in ("train.nc", "test.nc"):
+        ds = xr.Dataset()
+        ds["hires"] = xr.DataArray(hi, dims=("n", "chan", "y2", "x2"))
+        ds["lowres"] = xr.DataArray(lo, dims=("n", "chan", "y1", "x1"))
+        ds.to_netcdf(os.path.join(root, name))
+
+    train_ds = _load(root, "train.nc")
+    test_ds = _load(root, "test.nc")
+    mt = UNET(batch_size=4, nr_epochs=2, test_interval=2, encoded_dim_size=4, fc_size=8)
+    folder = str(tmp_path_factory.mktemp("nsqm") / "m")
+    mt.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert np.isfinite(mt.history["train_loss"][-1])
+
+    mt2 = load_model(folder)
+    score = _load(root, "test.nc")
+    mt2.apply(score, ["lowres"], "prediction")
+    assert score["prediction"].shape == (8, 1, 56, 48)

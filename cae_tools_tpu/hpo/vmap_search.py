@@ -17,15 +17,15 @@ the inner continuous sweep — the classic two-level TPU sweep.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..parallel.mesh import replicated_sharding
+from ..train.loop import batch_weights, make_injected_optimizer
 
 
 def vmap_trials(
@@ -39,11 +39,17 @@ def vmap_trials(
     nr_epochs: int = 100,
     seed: int = 0,
     mesh=None,
+    optimizer: str = "adamw",
 ):
     """Train one model per (lr, wd) pair simultaneously.
 
     loss_fn(params, state, rng, batch, train) -> (loss, (new_state, aux))
     init_fn(rng) -> (params, state)
+
+    ``optimizer`` must match the optimizer the winning configuration will be
+    retrained with — "adamw" (decoupled decay; the UNET/config-5 sweep
+    target) or "adam_l2" (torch Adam(weight_decay=...); Conv/Linear/VarAE).
+    The trials axis is padded to a mesh-divisible count when sharded.
 
     Returns (final_test_losses [T], params_stack, state_stack); trial i used
     learning_rates[i] / weight_decays[i] and an independent init.
@@ -51,6 +57,13 @@ def vmap_trials(
     lrs = jnp.asarray(learning_rates, jnp.float32)
     wds = jnp.asarray(weight_decays, jnp.float32)
     assert lrs.shape == wds.shape
+    n_requested = lrs.shape[0]
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        pad = (-n_requested) % n_data
+        if pad:
+            lrs = jnp.concatenate([lrs, jnp.repeat(lrs[-1:], pad)])
+            wds = jnp.concatenate([wds, jnp.repeat(wds[-1:], pad)])
     n_trials = lrs.shape[0]
 
     n = next(iter(train_data.values())).shape[0]
@@ -60,31 +73,15 @@ def vmap_trials(
     tsteps = max(1, math.ceil(tn / batch_size))
     tn_pad = tsteps * batch_size
 
-    def weights_for(count, padded, steps_):
-        w = jnp.concatenate(
-            [jnp.ones((count,), jnp.float32), jnp.zeros((padded - count,), jnp.float32)]
-        )
-        return w.reshape(steps_, batch_size)
-
-    train_w = weights_for(n, n_pad, steps)
-    test_w = weights_for(tn, tn_pad, tsteps)
+    train_w = batch_weights(n, n_pad, batch_size, steps)
+    test_w = batch_weights(tn, tn_pad, batch_size, tsteps)
     test_idx = jnp.concatenate(
         [jnp.arange(tn), jnp.broadcast_to(jnp.arange(1), (tn_pad - tn,))]
     ).reshape(tsteps, batch_size)
 
-    def make_tx():
-        def build(learning_rate, weight_decay):
-            return optax.chain(
-                optax.add_decayed_weights(weight_decay),
-                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-                optax.scale_by_learning_rate(learning_rate),
-            )
+    import optax
 
-        return optax.inject_hyperparams(build)(
-            learning_rate=1e-3, weight_decay=1e-5
-        )
-
-    tx = make_tx()
+    tx = make_injected_optimizer(optimizer)
 
     def train_one(lr, wd, trial_rng, data, tdata):
         params, state = init_fn(trial_rng)
@@ -154,4 +151,9 @@ def vmap_trials(
 
     run = jax.jit(vmapped)
     test_losses, params_stack, state_stack = run(lrs, wds, trial_rngs, data, tdata)
-    return np.asarray(test_losses), params_stack, state_stack
+    # drop padded duplicate trials
+    test_losses = np.asarray(test_losses)[:n_requested]
+    take = lambda a: a[:n_requested]
+    params_stack = jax.tree_util.tree_map(take, params_stack)
+    state_stack = jax.tree_util.tree_map(take, state_stack)
+    return test_losses, params_stack, state_stack

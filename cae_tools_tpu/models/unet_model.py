@@ -356,24 +356,41 @@ class UNET(BaseModel):
     # ---- persistence -------------------------------------------------------
     def save(self, to_folder):
         os.makedirs(to_folder, exist_ok=True)
-        torchio.save_state_dict(
-            os.path.join(to_folder, "encoder.weights"),
-            torchio.flatten_pytree(
-                {"params": self.params["encoder"], "state": self.state["encoder"]}
-            ),
-        )
-        torchio.save_state_dict(
-            os.path.join(to_folder, "decoder.weights"),
-            torchio.flatten_pytree(
-                {
-                    "params": self.params["decoder"],
-                    "state": self.state["decoder"],
-                    "compat_concat": np.asarray(
-                        1 if self.decoder.compat_concat else 0, np.int64
-                    ),
-                }
-            ),
-        )
+        if self.decoder.compat_concat:
+            # reference-architecture model: persist in the reference's torch
+            # key format so checkpoints stay loadable by the reference
+            # library after fine-tuning here (two-way interop)
+            torchio.save_state_dict(
+                os.path.join(to_folder, "encoder.weights"),
+                torchio.unet_encoder_to_state_dict(
+                    self.encoder, self.params["encoder"], self.state["encoder"]
+                ),
+            )
+            torchio.save_state_dict(
+                os.path.join(to_folder, "decoder.weights"),
+                torchio.unet_decoder_compat_to_state_dict(
+                    self.decoder, self.params["decoder"], self.state["decoder"]
+                ),
+            )
+        else:
+            torchio.save_state_dict(
+                os.path.join(to_folder, "encoder.weights"),
+                torchio.flatten_pytree(
+                    {
+                        "params": self.params["encoder"],
+                        "state": self.state["encoder"],
+                    }
+                ),
+            )
+            torchio.save_state_dict(
+                os.path.join(to_folder, "decoder.weights"),
+                torchio.flatten_pytree(
+                    {
+                        "params": self.params["decoder"],
+                        "state": self.state["decoder"],
+                    }
+                ),
+            )
         with open(os.path.join(to_folder, "normalisation.weights"), "w") as f:
             f.write(json.dumps(self.normalisation_parameters))
         with open(os.path.join(to_folder, "parameters.json"), "w") as f:
@@ -443,9 +460,6 @@ class UNET(BaseModel):
             dec = torchio.unflatten_pytree(dec_sd)
             self.params = {"encoder": enc["params"], "decoder": dec["params"]}
             self.state = {"encoder": enc["state"], "decoder": dec["state"]}
-            self.decoder.compat_concat = bool(
-                dec.get("compat_concat", False)
-            )
         self._apply_cache = {}
         super().load(from_folder)
 

@@ -20,16 +20,29 @@ import os
 import jax
 
 
+def _looks_like_tpu_pod() -> bool:
+    """Heuristic for a multi-host TPU pod slice (one process per host)."""
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return "," in hosts
+
+
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """Start the multi-controller runtime when configured; else no-op.
 
     Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when
-    arguments are omitted (standard cluster launcher environment).
+    arguments are omitted (standard cluster launcher environment).  On a
+    Cloud TPU pod slice with no explicit coordinator (the standard launch —
+    JAX auto-detects peers from TPU metadata), an argless
+    ``jax.distributed.initialize()`` is issued so multi-host runs can't
+    silently degrade into independent single-host jobs.
     """
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
     if coordinator_address is None:
+        if _looks_like_tpu_pod():
+            jax.distributed.initialize()
+            return True
         return False  # single-process run
     kwargs = {"coordinator_address": coordinator_address}
     num_processes = num_processes or os.environ.get("JAX_NUM_PROCESSES")
@@ -53,8 +66,9 @@ def global_batch_from_local(mesh, local_arr, ndim=None):
     netCDF reads); the returned jax.Array is globally sharded on the mesh's
     "data" axis without any host gathering the full batch.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .mesh import batch_sharding
 
     ndim = ndim if ndim is not None else local_arr.ndim
-    sharding = NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
-    return jax.make_array_from_process_local_data(sharding, local_arr)
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh, ndim), local_arr
+    )

@@ -62,29 +62,57 @@ class TrainConfig:
     seed: int = 0
 
 
-def make_optimizer(config: TrainConfig, schedule_fn) -> optax.GradientTransformation:
-    def build(learning_rate):
-        if config.optimizer == "adam_l2":
-            return optax.chain(
-                optax.add_decayed_weights(config.weight_decay),
-                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-                optax.scale_by_learning_rate(learning_rate),
-            )
-        if config.optimizer == "adamw":
-            return optax.adamw(
-                learning_rate=learning_rate,
-                b1=0.9,
-                b2=0.999,
-                eps=1e-8,
-                weight_decay=config.weight_decay,
-            )
-        raise ValueError(f"unknown optimizer {config.optimizer!r}")
+def _build_optimizer(optimizer: str, learning_rate, weight_decay):
+    if optimizer == "adam_l2":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    if optimizer == "adamw":
+        return optax.adamw(
+            learning_rate=learning_rate,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=weight_decay,
+        )
+    raise ValueError(f"unknown optimizer {optimizer!r}")
 
+
+def make_injected_optimizer(
+    optimizer: str, learning_rate=1e-3, weight_decay=1e-5
+) -> optax.GradientTransformation:
+    """Optimizer with lr/wd living in ``opt_state.hyperparams`` (arrays),
+    so they can be changed between steps (plateau schedule) or vmapped over
+    a trials axis (hpo.vmap_search) without retracing."""
+    return optax.inject_hyperparams(
+        lambda learning_rate, weight_decay: _build_optimizer(
+            optimizer, learning_rate, weight_decay
+        )
+    )(learning_rate=learning_rate, weight_decay=weight_decay)
+
+
+def make_optimizer(config: TrainConfig, schedule_fn) -> optax.GradientTransformation:
     if config.schedule == "plateau":
-        # dynamic lr living in opt_state.hyperparams, adjusted by the host
-        # loop on test-loss plateaus (torch ReduceLROnPlateau semantics)
-        return optax.inject_hyperparams(build)(learning_rate=config.lr)
-    return build(schedule_fn)
+        # dynamic lr adjusted by the host loop on test-loss plateaus
+        # (torch ReduceLROnPlateau semantics)
+        return make_injected_optimizer(
+            config.optimizer, config.lr, config.weight_decay
+        )
+    return _build_optimizer(config.optimizer, schedule_fn, config.weight_decay)
+
+
+def batch_weights(n_real: int, n_padded: int, batch: int, steps: int):
+    """Per-sample weights for a padded static batch plan: 1 for real rows,
+    0 for the trailing pad — torch's smaller-final-batch loss semantics."""
+    w = jnp.concatenate(
+        [
+            jnp.ones((n_real,), jnp.float32),
+            jnp.zeros((n_padded - n_real,), jnp.float32),
+        ]
+    )
+    return w.reshape(steps, batch)
 
 
 class Trainer:
@@ -192,15 +220,6 @@ class Trainer:
         opt_state = tx.init(params)
 
         loss_fn = self.loss_fn
-
-        def batch_weights(n_real, n_padded, batch, steps_):
-            w = jnp.concatenate(
-                [
-                    jnp.ones((n_real,), jnp.float32),
-                    jnp.zeros((n_padded - n_real,), jnp.float32),
-                ]
-            )
-            return w.reshape(steps_, batch)
 
         train_w = batch_weights(n, n_pad, cfg.batch_size, steps)
         test_w = batch_weights(tn, tn_pad, cfg.batch_size, tsteps)

@@ -3,6 +3,7 @@
 import json
 import os
 
+import numpy as np
 import pytest
 
 from cae_tools_tpu.hpo import HyperOptimizer
@@ -115,3 +116,27 @@ def test_vmap_trials_mesh_parallel(data):
     w_stack = np.asarray(params_stack["fc"]["w"])
     assert w_stack.shape[0] == 7
     assert not np.allclose(w_stack[0], w_stack[1])
+
+
+def test_hpo_subprocess_mode(data, tmp_path):
+    """Reference-parity mode: trials shell out to train_cae and scrape the
+    test loss from stdout (hypar_optim.py:47-89 behavior)."""
+    space = {
+        "method": ("fixed", "linear"),
+        "nr_epochs": ("fixed", 2),
+        "batch_size": ("fixed", 6),
+        "learning_rate": ("fixed", 0.05),
+    }
+    opt = HyperOptimizer(
+        train_inputs=[os.path.join(data, "train.nc")],
+        test_inputs=[os.path.join(data, "test.nc")],
+        input_variables=["lowres"],
+        output_variable="hires",
+        work_folder=str(tmp_path / "trials"),
+        search_space=space,
+        mode="subprocess",
+        seed=1,
+    )
+    best_params, best_value, results = opt.run(n_trials=1)
+    assert best_value is not None and np.isfinite(best_value)
+    assert os.path.exists(str(tmp_path / "trials" / "trial_0" / "parameters.json"))

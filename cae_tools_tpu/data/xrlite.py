@@ -199,7 +199,9 @@ class Dataset:
     def copy(self):
         out = Dataset(attrs=dict(self.attrs))
         for name, da in self._vars.items():
-            out[name] = DataArray(da.values, dims=da.dims, attrs=dict(da.attrs))
+            out[name] = DataArray(
+                np.array(da.values, copy=True), dims=da.dims, attrs=dict(da.attrs)
+            )
         return out
 
     def isel(self, **indexers):

@@ -48,6 +48,8 @@ def build_parser():
     parser.add_argument("--weight-decay", type=float, help="weight decay coefficient", default=1e-5)
     parser.add_argument("--dropout-rate", type=float, help="dropout rate", default=1e-1)
     parser.add_argument("--additional-loss", type=str, help="additional loss types ('contrastive', 'histogram', 'perceptual')", default=None)
+    parser.add_argument("--perceptual-weights", type=str, default=None,
+                        help="path to an .npz HWIO filter bank for the perceptual/contrastive feature extractor (default: torchvision VGG19 if importable, else a fixed random pyramid)")
     parser.add_argument("--scheduler-type", type=str, help="scheduler type ('StepLR', 'ReduceLROnPlateau', 'ExponentialLR','CosineAnnealingLR')", default=None)
     parser.add_argument("--method", choices=["conv", "unet", "unet_res", "srcnn_res", "resunet_gan", "var", "vae", "linear"], default="var", help="methods")
     parser.add_argument("--layer-definitions-path", help="specify path of a JSON file with layer definitions", default=None)
@@ -57,8 +59,8 @@ def build_parser():
     parser.add_argument("--output-layer-count", type=int, help="number of output convolutional layers", default=None)
     parser.add_argument("--model-id", type=str, help="specify the model id when creating a model", default=None)
     parser.add_argument("--database-path", type=str, help="path to a database to store evaluation results", default=None)
-    parser.add_argument("--chunk-size", type=int, help="chunk size for xarray", default=1000)
-    parser.add_argument("--include-coasts", help="include coastal areas", default=False)
+    parser.add_argument("--chunk-size", type=int, help="chunk size for xarray (accepted for reference flag parity; inert — data is materialised host-side)", default=1000)
+    parser.add_argument("--include-coasts", help="include coastal areas (accepted for reference flag parity; inert upstream too)", default=False)
     parser.add_argument("--mask-variable", type=str, help="name of the mask variable", default=None)
     parser.add_argument("--precision", choices=["highest", "high", "default"], default="high",
                         help="conv/matmul precision: high (default) keeps <=1e-5 reference parity at 1.66x the speed of highest; default=1-pass bf16 fast path")
@@ -195,8 +197,22 @@ def main(argv=None):
                 mt.spec = spec
 
     if args.additional_loss:
+        # fail fast instead of the reference's silent no-op: only the
+        # UNET-family training loss consumes the additional term
+        if args.additional_loss not in ("perceptual", "contrastive", "histogram"):
+            raise SystemExit(
+                f"unknown --additional-loss {args.additional_loss!r}; "
+                "expected 'perceptual', 'contrastive' or 'histogram'"
+            )
+        if not isinstance(mt, UNET):
+            raise SystemExit(
+                "--additional-loss is only wired into the unet/unet_res "
+                f"training loss, not method {args.method!r}"
+            )
         mt.additional_loss = args.additional_loss
         mt.lambda_additional = args.lambda_additional
+        if args.perceptual_weights:
+            mt.perceptual_weights = args.perceptual_weights
 
     if args.scheduler_type:
         # fix-forward: the reference accepts --scheduler-type but never

@@ -30,7 +30,26 @@ def main(argv=None):
     parser.add_argument("--mode", choices=["inproc", "subprocess"], default="inproc")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-path", default=None)
+    parser.add_argument(
+        "--storage", default=None,
+        help="sqlite URL or path persisting the study (resumable; "
+        "reference hypar_optim.py:107-113)",
+    )
+    parser.add_argument(
+        "--seed-trial", action="append", default=[],
+        help="JSON object (inline or @file.json) of params to enqueue "
+        "before sampled trials (reference hypar_optim.py:116-131); "
+        "repeatable",
+    )
     args = parser.parse_args(argv)
+
+    seed_trials = []
+    for item in args.seed_trial:
+        if item.startswith("@"):
+            with open(item[1:]) as f:
+                seed_trials.append(json.load(f))
+        else:
+            seed_trials.append(json.loads(item))
 
     space = default_search_space()
     space["method"] = ("fixed", args.method)
@@ -46,8 +65,11 @@ def main(argv=None):
         mode=args.mode,
         seed=args.seed,
         log_path=args.log_path or f"{args.work_folder}/study.jsonl",
+        seed_trials=seed_trials,
     )
-    best_params, best_value, results = opt.run(n_trials=args.n_trials)
+    best_params, best_value, results = opt.run(
+        n_trials=args.n_trials, storage=args.storage
+    )
     print(json.dumps({"best_value": best_value, "best_params": best_params}))
 
 

@@ -52,16 +52,23 @@ def default_search_space():
 
 
 class _RandomTrial:
-    """Minimal optuna.Trial-alike for the fallback sampler."""
+    """Minimal optuna.Trial-alike for the fallback sampler.
 
-    def __init__(self, number: int, rng: random.Random):
+    ``preset`` (seed-trial enqueue, reference ``hypar_optim.py:116-131``)
+    pins named knobs to fixed values; unnamed knobs are still sampled.
+    """
+
+    def __init__(self, number: int, rng: random.Random, preset=None):
         self.number = number
         self.rng = rng
         self.params = {}
+        self.preset = dict(preset or {})
 
     def suggest(self, name, spec):
         kind = spec[0]
-        if kind == "fixed":
+        if name in self.preset:
+            value = self.preset[name]
+        elif kind == "fixed":
             value = spec[1]
         elif kind == "int":
             value = self.rng.randint(spec[1], spec[2])
@@ -93,6 +100,68 @@ class TrialPruned(Exception):
     pass
 
 
+class _FallbackStudy:
+    """Sqlite-persisted study state for the no-optuna sampler.
+
+    Stands in for the reference's persistent Optuna storage
+    (``hypar_optim.py:107-113``: sqlite + ``load_if_exists=True``): trials
+    are appended to a ``trials`` table keyed by trial number, and a rerun
+    against the same storage resumes numbering and best-value tracking.
+    """
+
+    def __init__(self, storage: Optional[str], study_name: str):
+        import sqlite3
+
+        self.study_name = study_name
+        path = storage
+        if path and path.startswith("sqlite:///"):
+            path = path[len("sqlite:///"):]
+        self._conn = sqlite3.connect(path) if path else None
+        if self._conn is not None:
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS trials ("
+                "study_name TEXT, number INTEGER, params TEXT, "
+                "value REAL, pruned TEXT, "
+                "PRIMARY KEY (study_name, number))"
+            )
+            self._conn.commit()
+
+    def existing_trials(self):
+        if self._conn is None:
+            return []
+        rows = self._conn.execute(
+            "SELECT number, params, value, pruned FROM trials "
+            "WHERE study_name=? ORDER BY number",
+            (self.study_name,),
+        ).fetchall()
+        out = []
+        for number, params, value, pruned in rows:
+            rec = {"number": number, "value": value, "params": json.loads(params)}
+            if pruned:
+                rec["pruned"] = pruned
+            out.append(rec)
+        return out
+
+    def record(self, result: dict):
+        if self._conn is None:
+            return
+        self._conn.execute(
+            "INSERT OR REPLACE INTO trials VALUES (?,?,?,?,?)",
+            (
+                self.study_name,
+                result["number"],
+                json.dumps(result["params"]),
+                result.get("value"),
+                result.get("pruned"),
+            ),
+        )
+        self._conn.commit()
+
+    def close(self):
+        if self._conn is not None:
+            self._conn.close()
+
+
 @dataclass
 class HyperOptimizer:
     """Search driver minimising test MSE over a hyperparameter space."""
@@ -107,6 +176,10 @@ class HyperOptimizer:
     seed: int = 0
     log_path: Optional[str] = None
     constraints: Optional[Callable] = None
+    # seed-trial enqueue (reference hypar_optim.py:116-131): param dicts
+    # evaluated first, before sampled trials
+    seed_trials: list = field(default_factory=list)
+    study_name: str = "cae_hyperparameter_optimization"
 
     def _sample(self, trial) -> dict:
         params = {}
@@ -253,43 +326,74 @@ class HyperOptimizer:
 
     # ------------------------------------------------------------------
     def run(self, n_trials: int = 50, storage: Optional[str] = None):
-        """Run the study; returns (best_params, best_value, all_results)."""
-        try:  # pragma: no cover - optuna not present in this environment
+        """Run the study; returns (best_params, best_value, all_results).
+
+        ``storage`` accepts a sqlite URL (``sqlite:///study.db``) or a bare
+        path; both the optuna path and the built-in fallback sampler persist
+        and resume the study from it (reference ``hypar_optim.py:107-113``).
+        """
+        try:
             import optuna
-
-            sampler = optuna.samplers.TPESampler(seed=self.seed)
-            study = optuna.create_study(
-                sampler=sampler, direction="minimize", storage=storage
-            )
-
-            def objective(trial):
-                try:
-                    return self.objective(trial)
-                except TrialPruned as e:
-                    raise optuna.TrialPruned(str(e))
-
-            study.optimize(objective, n_trials=n_trials)
-            results = [
-                {"number": t.number, "value": t.value, "params": t.params}
-                for t in study.trials
-            ]
-            return study.best_params, study.best_value, results
         except ModuleNotFoundError:
-            pass
+            optuna = None
+        if optuna is not None:
+            return self._run_optuna(optuna, n_trials, storage)
+        return self._run_fallback(n_trials, storage)
 
+    def _run_optuna(self, optuna, n_trials, storage):
+        if storage and not storage.startswith("sqlite:"):
+            storage = f"sqlite:///{storage}"
+        sampler = optuna.samplers.TPESampler(seed=self.seed)
+        study = optuna.create_study(
+            study_name=self.study_name,
+            sampler=sampler,
+            direction="minimize",
+            storage=storage,
+            load_if_exists=bool(storage),
+        )
+        for params in self.seed_trials:
+            study.enqueue_trial(dict(params))
+
+        def objective(trial):
+            try:
+                return self.objective(trial)
+            except TrialPruned as e:
+                raise optuna.TrialPruned(str(e))
+
+        study.optimize(objective, n_trials=n_trials)
+        results = [
+            {"number": t.number, "value": t.value, "params": t.params}
+            for t in study.trials
+        ]
+        return study.best_params, study.best_value, results
+
+    def _run_fallback(self, n_trials, storage):
         rng = random.Random(self.seed)
-        results = []
+        study = _FallbackStudy(storage, self.study_name)
+        results = list(study.existing_trials())
+        start = (max((r["number"] for r in results), default=-1)) + 1
         best_params, best_value = None, float("inf")
-        for i in range(n_trials):
-            trial = _RandomTrial(i, rng)
+        for r in results:  # resume best-value tracking from storage
+            if r.get("value") is not None and r["value"] < best_value:
+                best_params, best_value = dict(r["params"]), r["value"]
+        queue = [dict(p) for p in self.seed_trials[start:]]
+        for i in range(start, start + n_trials):
+            preset = queue.pop(0) if queue else None
+            trial = _RandomTrial(i, rng, preset=preset)
             try:
                 value = self.objective(trial)
             except TrialPruned as e:
-                results.append(
-                    {"number": i, "value": None, "params": trial.params, "pruned": str(e)}
-                )
+                rec = {
+                    "number": i, "value": None,
+                    "params": trial.params, "pruned": str(e),
+                }
+                results.append(rec)
+                study.record(rec)
                 continue
-            results.append({"number": i, "value": value, "params": trial.params})
+            rec = {"number": i, "value": value, "params": trial.params}
+            results.append(rec)
+            study.record(rec)
             if value < best_value:
                 best_params, best_value = dict(trial.params), value
+        study.close()
         return best_params, best_value, results

@@ -167,15 +167,26 @@ class UNET(BaseModel):
         encoder, decoder = self.encoder, self.decoder
         lambda_pearson = self.lambda_pearson
 
-        # optional perceptual term (--additional-loss perceptual); the
-        # reference instantiates VGGPerceptualLoss but never adds it to the
-        # loss (unet.py:253, SURVEY §2.9) — here the flag actually engages it
+        # optional additional term (--additional-loss); the reference
+        # instantiates VGGPerceptualLoss but never adds any of the three
+        # advertised losses to the training loss (unet.py:253, SURVEY §2.9;
+        # contrastive/histogram are dead flags upstream) — here the flag
+        # actually engages them
+        additional = getattr(self, "additional_loss", None)
         percep = None
         percep_params = None
         lambda_additional = getattr(self, "lambda_additional", 1.0)
-        if getattr(self, "additional_loss", None) == "perceptual":
+        if additional in ("perceptual", "contrastive"):
             percep = M.PerceptualFeatureLoss()
-            percep_params = percep.init(in_channels=self.output_shape[0])
+            percep_params = percep.init(
+                in_channels=self.output_shape[0],
+                filter_bank=getattr(self, "perceptual_weights", None),
+            )
+        elif additional not in (None, "histogram"):
+            raise ValueError(
+                f"unknown additional loss {additional!r}; expected "
+                "'perceptual', 'contrastive' or 'histogram'"
+            )
 
         net_apply = self._net_apply
 
@@ -191,9 +202,18 @@ class UNET(BaseModel):
             ) / wsum
             pearson_loss = 1.0 - corr_mean
             loss = mse + lambda_pearson * pearson_loss
-            if percep is not None:
+            if additional == "perceptual":
                 loss = loss + lambda_additional * percep.loss(
                     percep_params, out, batch["y"]
+                )
+            elif additional == "contrastive":
+                loss = loss + lambda_additional * L.contrastive_loss(
+                    percep.embed(percep_params, out),
+                    percep.embed(percep_params, batch["y"]),
+                )
+            elif additional == "histogram":
+                loss = loss + lambda_additional * L.histogram_loss(
+                    out, batch["y"]
                 )
             aux = {"mse": mse, "pearson_loss": pearson_loss}
             return loss, (new_state, aux)

@@ -417,41 +417,127 @@ class PerceptualFeatureLoss:
     """Feature-space MSE perceptual loss.
 
     The reference's ``VGGPerceptualLoss`` (``unet.py:165-198``) extracts
-    torchvision VGG19 features; pretrained weights are unavailable offline,
-    so this uses a fixed *random* strided conv feature pyramid — random
-    convolutional features are a documented effective perceptual metric
-    (random-weight VGG variants) — with a hook to load external HWIO filter
-    banks when provided.  Instantiated but, like the reference, not part of
-    the default training loss; enabled via ``--additional-loss perceptual``.
+    torchvision VGG19 features.  Filter sources, in priority order:
+
+    1. an explicit ``filter_bank`` argument to :meth:`init` — a path to an
+       ``.npz`` (or a loaded dict) with HWIO conv filters under keys
+       ``w0, w1, ...``, optional biases ``b0, ...`` and per-layer integer
+       strides ``s0, ...`` (default stride 2);
+    2. the ``CAE_TPU_PERCEPTUAL_BANK`` environment variable naming such an
+       ``.npz``;
+    3. torchvision VGG19 pretrained features, when importable — conv
+       weights of ``vgg19.features[:9]`` converted OIHW→HWIO, max-pools
+       folded into the stride of the following conv;
+    4. fallback: a fixed *random* strided conv pyramid (random-weight VGG
+       variants are a documented effective perceptual metric).
+
+    If the bank's first filter expects more input channels than the data
+    has, inputs are channel-tiled (the reference repeats 1→3 channels,
+    ``unet.py:180-181``).  Enabled via ``--additional-loss perceptual``
+    (+ ``--perceptual-weights`` for source 1).
     """
 
     channels: tuple = (8, 16, 32)
     kernel: int = 3
     seed: int = 0
 
-    def init(self, in_channels=1):
+    def init(self, in_channels=1, filter_bank=None):
+        params = self._load_bank(filter_bank)
+        if params is not None:
+            return params
         rng = jax.random.PRNGKey(self.seed)
         params = []
         cin = in_channels
         for i, cout in enumerate(self.channels):
             rng, sub = jax.random.split(rng)
             fan_in = cin * self.kernel * self.kernel
-            params.append(
-                (1.0 / math.sqrt(fan_in))
-                * jax.random.normal(
-                    sub, (self.kernel, self.kernel, cin, cout), jnp.float32
-                )
+            w = (1.0 / math.sqrt(fan_in)) * jax.random.normal(
+                sub, (self.kernel, self.kernel, cin, cout), jnp.float32
             )
+            params.append({"w": w, "b": None, "stride": 2})
             cin = cout
         return params
 
+    def _load_bank(self, filter_bank):
+        import os
+
+        if filter_bank is None:
+            filter_bank = os.environ.get("CAE_TPU_PERCEPTUAL_BANK")
+        if filter_bank is not None:
+            if isinstance(filter_bank, (str, os.PathLike)):
+                import numpy as _np
+
+                filter_bank = dict(_np.load(filter_bank))
+            params = []
+            for i in range(len([k for k in filter_bank if k.startswith("w")])):
+                w = jnp.asarray(filter_bank[f"w{i}"], jnp.float32)
+                if w.ndim != 4:
+                    raise ValueError(
+                        f"filter bank w{i} must be 4-D HWIO, got {w.shape}"
+                    )
+                b = filter_bank.get(f"b{i}")
+                params.append({
+                    "w": w,
+                    "b": None if b is None else jnp.asarray(b, jnp.float32),
+                    "stride": int(filter_bank.get(f"s{i}", 2)),
+                })
+            if not params:
+                raise ValueError("filter bank has no 'w<i>' arrays")
+            return params
+        return self._load_torchvision_vgg19()
+
+    @staticmethod
+    def _load_torchvision_vgg19():  # pragma: no cover - torchvision absent
+        try:
+            import torchvision
+        except Exception:
+            return None
+        try:
+            vgg = torchvision.models.vgg19(weights="IMAGENET1K_V1").features
+        except Exception:
+            return None  # e.g. no network to fetch pretrained weights
+        import torch as _torch
+
+        params, pending_stride = [], 1
+        for layer in list(vgg)[:9]:  # reference uses features[:9]
+            if isinstance(layer, _torch.nn.Conv2d):
+                w = layer.weight.detach().numpy()  # OIHW
+                params.append({
+                    "w": jnp.asarray(w.transpose(2, 3, 1, 0)),  # → HWIO
+                    "b": jnp.asarray(layer.bias.detach().numpy()),
+                    "stride": pending_stride,
+                })
+                pending_stride = 1
+            elif isinstance(layer, _torch.nn.MaxPool2d):
+                pending_stride = 2
+        return params or None
+
+    @staticmethod
+    def _adapt_channels(x, want):
+        have = x.shape[-1]
+        if have == want:
+            return x
+        if have < want:  # tile-and-slice (reference repeat(1,3,1,1))
+            reps = -(-want // have)
+            return jnp.tile(x, (1, 1, 1, reps))[..., :want]
+        return jnp.mean(x, axis=-1, keepdims=True).repeat(want, axis=-1)
+
     def features(self, params, x):
         feats = []
-        h = x
-        for w in params:
-            h = jax.nn.relu(conv2d(h, w, stride=2, padding=1))
+        h = self._adapt_channels(x, params[0]["w"].shape[2])
+        for p in params:
+            pad = (p["w"].shape[0] - 1) // 2
+            h = conv2d(h, p["w"], stride=p["stride"], padding=pad)
+            if p["b"] is not None:
+                h = h + p["b"]
+            h = jax.nn.relu(h)
             feats.append(h)
         return feats
+
+    def embed(self, params, x):
+        """Global-average-pooled final feature map — the (N, D) projection
+        used by the contrastive additional loss."""
+        return jnp.mean(self.features(params, x)[-1], axis=(1, 2))
 
     def loss(self, params, pred, target):
         fp = self.features(params, pred)

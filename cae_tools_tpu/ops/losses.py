@@ -80,6 +80,54 @@ def gradient_penalty(rng, discriminator_fn, real, fake):
     return jnp.mean((norms - 1.0) ** 2)
 
 
+def histogram_loss(pred, target, bins: int = 64, sigma: float | None = None,
+                   lo: float = 0.0, hi: float = 1.0):
+    """Soft-histogram matching loss over NHWC images.
+
+    The reference accepts ``--additional-loss histogram`` but never defines
+    the loss (``cli/train_cae.py:40`` — dead flag); this implements it
+    fix-forward.  Each image/channel's pixel distribution is binned with a
+    differentiable Gaussian kernel over ``bins`` fixed centers spanning
+    ``[lo, hi]`` (the sigmoid-bounded output range), histograms are
+    normalised to sum to 1, and the loss is the mean squared difference
+    between predicted and target histograms.  Static bin count keeps the
+    op a fixed-shape (N, C, bins) contraction — one fused XLA kernel.
+    """
+    if sigma is None:
+        sigma = (hi - lo) / bins
+    centers = jnp.linspace(lo, hi, bins, dtype=pred.dtype)
+
+    def soft_hist(x):
+        n, h, w, c = x.shape
+        flat = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, c, h * w)
+        # (N, C, HW, bins) Gaussian kernel weights, reduced over pixels
+        k = jnp.exp(-0.5 * ((flat[..., None] - centers) / sigma) ** 2)
+        hist = jnp.sum(k, axis=2)
+        return hist / (jnp.sum(hist, axis=-1, keepdims=True) + _EPS)
+
+    return jnp.mean((soft_hist(pred) - soft_hist(target)) ** 2) * bins
+
+
+def contrastive_loss(pred_emb, target_emb, temperature: float = 0.1):
+    """Symmetric InfoNCE over per-image embeddings (N, D).
+
+    Fix-forward implementation of the reference's dead
+    ``--additional-loss contrastive`` flag: each predicted image must match
+    *its own* target against the other targets in the batch (and vice
+    versa).  Embeddings are L2-normalised here; callers supply any
+    projection (e.g. pooled features from :class:`PerceptualFeatureLoss`).
+    """
+    p = pred_emb / (jnp.linalg.norm(pred_emb, axis=-1, keepdims=True) + _EPS)
+    t = target_emb / (jnp.linalg.norm(target_emb, axis=-1, keepdims=True) + _EPS)
+    logits = p @ t.T / temperature  # (N, N)
+    labels = jnp.arange(logits.shape[0])
+    lp = jax.nn.log_softmax(logits, axis=1)
+    lt = jax.nn.log_softmax(logits.T, axis=1)
+    return -0.5 * (
+        jnp.mean(lp[labels, labels]) + jnp.mean(lt[labels, labels])
+    )
+
+
 def total_variation(x):
     """NHWC total-variation loss (``unet.py:682-691`` semantics)."""
     n = x.shape[0]

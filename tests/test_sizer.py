@@ -114,6 +114,73 @@ def test_json_roundtrip_format():
     }
 
 
+def _load_reference_sizer():
+    """Import the actual reference solver module (pure python, no deps)."""
+    import importlib.util
+    import os
+
+    path = "/root/reference/src/cae_tools/models/model_sizer.py"
+    if not os.path.exists(path):
+        pytest.skip("reference snapshot not mounted")
+    spec = importlib.util.spec_from_file_location("ref_model_sizer", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_spec_json_golden_vs_reference_solver():
+    """Byte-for-byte ``spec.json`` equality against the reference solver
+    run directly from the snapshot, across a fuzzed geometry grid
+    (``model_sizer.py:112-162`` is the spec.json interop contract)."""
+    ref = _load_reference_sizer()
+    rng = np.random.default_rng(2024)
+    cases = [
+        # the four shipped data-spec geometries
+        dict(input_size=(16, 16), output_size=(256, 256)),
+        dict(input_size=(6, 6), input_channels=2, output_size=(256, 256)),
+        dict(input_size=(24, 20), output_size=(280, 256)),
+        dict(input_size=(16, 16), output_size=(256, 256), kernel_size=5),
+    ]
+    for _ in range(40):  # fuzz
+        cases.append(dict(
+            input_size=(int(rng.integers(6, 48)), int(rng.integers(6, 48))),
+            input_channels=int(rng.integers(1, 5)),
+            output_size=(int(rng.integers(32, 300)), int(rng.integers(32, 300))),
+            output_channels=int(rng.integers(1, 3)),
+            stride=int(rng.integers(1, 4)),
+            kernel_size=int(rng.integers(2, 6)),
+            input_layer_count=int(rng.integers(1, 4)) if rng.random() < 0.5 else None,
+            output_layer_count=int(rng.integers(1, 5)) if rng.random() < 0.5 else None,
+        ))
+    for kw in cases:
+        ours = json.dumps(create_model_spec(**kw).save())
+        theirs = json.dumps(ref.create_model_spec(**kw).save())
+        assert ours == theirs, kw
+
+
+def test_spec_json_file_golden_vs_reference(tmp_path):
+    """The spec.json our ConvAE writes is byte-identical to the file the
+    reference solver's save() would produce for the same geometry."""
+    ref = _load_reference_sizer()
+    ours = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(256, 256), output_channels=1,
+    )
+    ref_spec = ref.create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(256, 256), output_channels=1,
+    )
+    p_ours = tmp_path / "ours.json"
+    p_ref = tmp_path / "ref.json"
+    p_ours.write_text(json.dumps(ours.save()))
+    p_ref.write_text(json.dumps(ref_spec.save()))
+    assert p_ours.read_bytes() == p_ref.read_bytes()
+    # and the reference loader round-trips our file
+    loaded = ref.ModelSpec()
+    loaded.load(json.loads(p_ours.read_text()))
+    assert json.dumps(loaded.save()) == p_ours.read_text()
+
+
 def test_nonsquare_kernel_saved_as_list():
     ls = LayerSpec(False, (5, 4), 2, (2, 10, 10), (1, 23, 22), 0)
     saved = ls.save()

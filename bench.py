@@ -1,21 +1,31 @@
-"""Benchmark: apply-path throughput of the flagship ConvAE vs PyTorch-CPU.
+"""Benchmark: apply + train throughput of the flagship ConvAE (and UNET
+train) vs PyTorch-CPU.
 
 Measures the BASELINE.json north-star config — batched inference of a
 16x16 -> 256x256 convolutional autoencoder (encoder conv stack, FC
 bottleneck, transposed-conv decoder, reference geometry from the auto
 layer-spec solver) — on the default JAX device (TPU under the driver), and
 the identical architecture built in torch on CPU as the reference baseline.
+Also measures steady-state *training* throughput (forward+backward+Adam
+step, the reference hot loop at ``conv_ae_model.py:328-341`` /
+``unet.py:295-337``) for ConvAE and UNET, with a torch-CPU ConvAE train
+baseline.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N, ...}
 """
 
 import json
 import os
-import sys
+import statistics
 import time
 
 import numpy as np
+
+TORCH_ITERS = 20  # hardened baseline: fixed iteration count, variance reported
+# smoke-test overrides (CPU CI); the driver runs defaults on TPU
+_BATCH = int(os.environ.get("CAE_BENCH_BATCH", "512"))
+_ITERS = int(os.environ.get("CAE_BENCH_ITERS", "20"))
 
 
 def build_jax_forward(spec, latent, fc, batch):
@@ -23,7 +33,6 @@ def build_jax_forward(spec, latent, fc, batch):
     import jax.numpy as jnp
 
     from cae_tools_tpu.nn import modules as M
-    from cae_tools_tpu.ops import convops
 
     enc = M.ConvEncoder(spec.input_layers, latent, fc)
     dec = M.ConvDecoder(spec.output_layers, latent, fc)
@@ -31,7 +40,8 @@ def build_jax_forward(spec, latent, fc, batch):
     dp, ds = dec.init(jax.random.PRNGKey(1))
 
     @jax.jit
-    def forward(x):
+    def forward(params, x):
+        (ep, es, dp, ds) = params
         z, _ = enc.apply(ep, es, x, train=False)
         y, _ = dec.apply(dp, ds, z, train=False)
         return y
@@ -39,7 +49,107 @@ def build_jax_forward(spec, latent, fc, batch):
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, 16, 16, 1), dtype=np.float32)
     )
-    return forward, x
+    return forward, (ep, es, dp, ds), x
+
+
+def cast_params_bf16(params):
+    import jax
+    import jax.numpy as jnp
+
+    def cast(leaf):
+        arr = jnp.asarray(leaf)
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            return arr.astype(jnp.bfloat16)
+        return arr
+
+    return jax.tree_util.tree_map(cast, params)
+
+
+def build_jax_convae_train(spec, latent, fc, batch):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cae_tools_tpu.nn import modules as M
+
+    enc = M.ConvEncoder(spec.input_layers, latent, fc)
+    dec = M.ConvDecoder(spec.output_layers, latent, fc)
+    ep, es = enc.init(jax.random.PRNGKey(0))
+    dp, ds = dec.init(jax.random.PRNGKey(1))
+    params = {"e": ep, "d": dp}
+    state = {"e": es, "d": ds}
+    # reference optimizer: Adam + weight_decay (conv_ae_model.py:310)
+    tx = optax.chain(optax.add_decayed_weights(1e-5), optax.adam(1e-3))
+    opt_state = tx.init(params)
+
+    def loss_fn(params, state, x, y):
+        z, es2 = enc.apply(params["e"], state["e"], x, train=True)
+        out, ds2 = dec.apply(params["d"], state["d"], z, train=True)
+        return jnp.mean((out - y) ** 2), {"e": es2, "d": ds2}
+
+    @jax.jit
+    def step(params, state, opt_state, x, y):
+        (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, x, y
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, state, opt_state, loss
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 16, 16, 1), dtype=np.float32))
+    y = jnp.asarray(rng.random((batch, 256, 256, 1), dtype=np.float32))
+    return step, (params, state, opt_state), (x, y)
+
+
+def build_jax_unet_train(batch):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cae_tools_tpu.models.sizer import create_model_spec
+    from cae_tools_tpu.nn import modules as M
+    from cae_tools_tpu.ops import losses as L
+
+    spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(256, 256), output_channels=1,
+    )
+    enc = M.UNetEncoder(spec.input_layers, 32, 128, dropout_rate=0.1)
+    skip_shapes = [tuple(l.get_output_dimensions()) for l in spec.input_layers[:-1]]
+    dec = M.UNetDecoder(
+        spec.output_layers, 32, 128, dropout_rate=0.1,
+        skip_shapes=skip_shapes,
+    )
+    ep, es = enc.init(jax.random.PRNGKey(0))
+    dp, ds = dec.init(jax.random.PRNGKey(1))
+    params = {"e": ep, "d": dp}
+    state = {"e": es, "d": ds}
+    tx = optax.adamw(1e-3, weight_decay=1e-5)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, state, rng, x, y):
+        r1, r2 = jax.random.split(rng)
+        (z, skips), es2 = enc.apply(params["e"], state["e"], x, True, rng=r1)
+        out, ds2 = dec.apply(params["d"], state["d"], z, skips, True, rng=r2)
+        mask = jnp.ones_like(out)
+        mse = L.masked_mse(out, y, mask)
+        corr = jnp.mean(L.masked_pearson(out, y, mask))
+        return mse + (1.0 - corr), {"e": es2, "d": ds2}
+
+    @jax.jit
+    def step(params, state, opt_state, rng, x, y):
+        (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, rng, x, y
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, state, opt_state, loss
+
+    nprng = np.random.default_rng(0)
+    x = jnp.asarray(nprng.random((batch, 16, 16, 1), dtype=np.float32))
+    y = jnp.asarray(nprng.random((batch, 256, 256, 1), dtype=np.float32))
+    return step, (params, state, opt_state), (x, y)
 
 
 def build_torch_forward(spec, latent, fc, batch):
@@ -88,68 +198,147 @@ def build_torch_forward(spec, latent, fc, batch):
         *dec_layers,
         tnn.Sigmoid(),
     )
-    model = tnn.Sequential(encoder, decoder).eval()
+    model = tnn.Sequential(encoder, decoder)
     xb = torch.rand((batch, 1, 16, 16))
     return model, xb
 
 
-def time_jax(forward, x, iters):
+def time_jax(fn, args, iters):
     import jax
 
-    forward(x).block_until_ready()  # compile + warm
-    forward(x).block_until_ready()
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warm
+    jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    out = None
     for _ in range(iters):
-        out = forward(x)
-    out.block_until_ready()
+        out = fn(*args)
+    jax.block_until_ready(out)
     return time.perf_counter() - t0
 
 
-def time_torch(model, xb, iters):
+def time_jax_train(step, carry, data, iters):
+    import jax
+
+    carry = step(*carry, *data)[:3]  # compile + warm
+    jax.block_until_ready(carry)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step(*carry, *data)[:3]
+    jax.block_until_ready(carry)
+    return time.perf_counter() - t0
+
+
+def time_jax_unet_train(step, carry, data, iters):
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    carry = step(*carry, rng, *data)[:3]
+    jax.block_until_ready(carry)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rng = jax.random.fold_in(rng, i)
+        carry = step(*carry, rng, *data)[:3]
+    jax.block_until_ready(carry)
+    return time.perf_counter() - t0
+
+
+def time_torch_forward(model, xb, iters):
     import torch
 
+    model.eval()
+    times = []
     with torch.no_grad():
         model(xb)  # warm
-        t0 = time.perf_counter()
         for _ in range(iters):
+            t0 = time.perf_counter()
             model(xb)
-        return time.perf_counter() - t0
+            times.append(time.perf_counter() - t0)
+    return times
+
+
+def time_torch_train(model, xb, yb, iters):
+    import torch
+
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-5)
+    lossf = torch.nn.MSELoss()
+    times = []
+    for i in range(iters + 1):
+        t0 = time.perf_counter()
+        opt.zero_grad()
+        loss = lossf(model(xb), yb)
+        loss.backward()
+        opt.step()
+        if i > 0:  # first iteration is warmup
+            times.append(time.perf_counter() - t0)
+    return times
+
+
+def ips_stats(times, batch):
+    """images/sec from per-iter times: median rate + relative spread."""
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med if med else 0.0
+    return batch / med, spread
 
 
 def main():
     from cae_tools_tpu.models.sizer import create_model_spec
     from cae_tools_tpu.ops import convops
 
-    latent, fc, batch = 32, 128, 512
+    latent, fc, batch = 32, 128, _BATCH
+    # <=64: larger training graphs OOM the remote-compile helper
+    train_batch = min(64, _BATCH)
     spec = create_model_spec(
         input_size=(16, 16), input_channels=1,
         output_size=(256, 256), output_channels=1,
         stride=2, kernel_size=3,
     )
 
-    # headline: the parity-grade path (HIGH precision: <=1.5e-6 max err vs
-    # the torch-CPU f32 reference) at a TPU-utilizing batch (sweep: ~512)
+    # ---- apply: parity-grade HIGH precision (headline) ---------------------
     convops.set_precision("high")
-    forward, x = build_jax_forward(spec, latent, fc, batch)
-    jax_iters = 20
-    jax_time = time_jax(forward, x, jax_iters)
-    jax_ips = batch * jax_iters / jax_time
+    forward, params, x = build_jax_forward(spec, latent, fc, batch)
+    jax_iters = _ITERS
+    jax_ips = batch * jax_iters / time_jax(forward, (params, x), jax_iters)
 
-    # secondary: bf16-MXU default-precision fast path
+    # ---- apply: bf16-MXU default-precision fast path ------------------------
     convops.set_precision("default")
-    forward_fast, x_fast = build_jax_forward(spec, latent, fc, batch)
-    fast_time = time_jax(forward_fast, x_fast, jax_iters)
-    fast_ips = batch * jax_iters / fast_time
+    forward_f, params_f, x_f = build_jax_forward(spec, latent, fc, batch)
+    fast_ips = batch * jax_iters / time_jax(forward_f, (params_f, x_f), jax_iters)
+
+    # ---- apply: fast path + bf16 parameter storage --------------------------
+    params_bf16 = cast_params_bf16(params_f)
+    bf16w_ips = batch * jax_iters / time_jax(
+        forward_f, (params_bf16, x_f), jax_iters
+    )
     convops.set_precision("high")
 
-    # torch-CPU baseline at its own best batch
-    torch_ips = 0.0
-    for tb in (32, 128):
+    # ---- train: ConvAE + UNET steady state (HIGH, the training default) ----
+    step, carry, data = build_jax_convae_train(spec, latent, fc, train_batch)
+    train_iters = _ITERS
+    train_ips = train_batch * train_iters / time_jax_train(
+        step, carry, data, train_iters
+    )
+    unet_batch = min(32, _BATCH)
+    ustep, ucarry, udata = build_jax_unet_train(unet_batch)
+    unet_train_ips = unet_batch * train_iters / time_jax_unet_train(
+        ustep, ucarry, udata, train_iters
+    )
+
+    # ---- torch-CPU baselines (fixed iters, variance reported) --------------
+    torch_ips, torch_spread = 0.0, 0.0
+    for tb in (32, min(128, _BATCH)):
         torch_model, xb = build_torch_forward(spec, latent, fc, tb)
-        torch_iters = 5
-        torch_time = time_torch(torch_model, xb, torch_iters)
-        torch_ips = max(torch_ips, tb * torch_iters / torch_time)
+        rate, spread = ips_stats(time_torch_forward(torch_model, xb, TORCH_ITERS), tb)
+        if rate > torch_ips:
+            torch_ips, torch_spread = rate, spread
+
+    import torch as _torch
+
+    torch_train_model, xb = build_torch_forward(spec, latent, fc, train_batch)
+    yb = _torch.rand((train_batch, 1, 256, 256))
+    torch_train_ips, torch_train_spread = ips_stats(
+        time_torch_train(torch_train_model, xb, yb, TORCH_ITERS), train_batch
+    )
 
     result = {
         "metric": "apply_convae_16x16_to_256x256_images_per_sec",
@@ -157,8 +346,17 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(jax_ips / torch_ips, 2),
         "baseline_torch_cpu_images_per_sec": round(torch_ips, 2),
+        "baseline_torch_cpu_spread": round(torch_spread, 3),
         "bf16_fast_path_images_per_sec": round(fast_ips, 2),
+        "bf16_weights_fast_path_images_per_sec": round(bf16w_ips, 2),
         "batch": batch,
+        "train_convae_images_per_sec": round(train_ips, 2),
+        "train_convae_torch_cpu_images_per_sec": round(torch_train_ips, 2),
+        "train_convae_torch_cpu_spread": round(torch_train_spread, 3),
+        "train_convae_vs_torch_cpu": round(train_ips / torch_train_ips, 2),
+        "train_batch": train_batch,
+        "train_unet_images_per_sec": round(unet_train_ips, 2),
+        "train_unet_batch": unet_batch,
     }
     print(json.dumps(result))
 

@@ -6,7 +6,8 @@ from __future__ import annotations
 import argparse
 
 from ..models import load_model
-from .common import broadcast_scalar_vars, open_inputs
+from .common import (add_devices_flag, broadcast_scalar_vars, mesh_from_flag,
+                     open_inputs)
 
 
 def build_parser():
@@ -19,6 +20,9 @@ def build_parser():
     parser.add_argument("--mask-variable", type=str, help="name of the mask variable", default=None)
     parser.add_argument("--precision", choices=["highest", "high", "default"], default="high",
                         help="conv/matmul precision: high (default) keeps <=1e-5 reference parity at 1.66x the speed of highest; default=1-pass bf16 fast path")
+    parser.add_argument("--apply-dtype", choices=["float32", "bfloat16"], default="float32",
+                        help="parameter storage dtype for inference; bfloat16 halves weight HBM traffic (pair with --precision default; output error stays at the 1-pass-bf16 level)")
+    add_devices_flag(parser)
     return parser
 
 
@@ -30,6 +34,11 @@ def main(argv=None):
     convops.set_precision(args.precision)
 
     mt = load_model(args.model_folder)
+    mesh = mesh_from_flag(args.devices)
+    if mesh is not None:
+        mt.set_mesh(mesh)  # sharded DP apply over the mesh's "data" axis
+    if args.apply_dtype != "float32":
+        mt.set_apply_dtype(args.apply_dtype)
 
     # input-variable consistency vs the saved input spec (apply_cae.py:55-68)
     input_variable_names = args.input_variables

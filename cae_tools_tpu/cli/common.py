@@ -12,6 +12,37 @@ import numpy as np
 from ..xrcompat import xr
 
 
+def add_devices_flag(parser):
+    """``--devices N|all`` — DP mesh size for train/apply (additive to the
+    single-device reference; SURVEY.md §2 parallelism note)."""
+    parser.add_argument(
+        "--devices", type=str, default=None,
+        help="run data-parallel over N accelerator devices "
+        "('all' = every visible device; default: single device)",
+    )
+    return parser
+
+
+def mesh_from_flag(value):
+    """Resolve ``--devices`` to a jax mesh (or None for single-device)."""
+    if not value:
+        return None
+    import jax
+
+    from ..parallel.mesh import get_mesh
+
+    available = len(jax.devices())
+    n = available if value in ("all", "auto") else int(value)
+    if n > available:
+        raise SystemExit(
+            f"--devices {n} requested but only {available} visible "
+            f"({[d.platform for d in jax.devices()][:4]}...)"
+        )
+    if n <= 1:
+        return None
+    return get_mesh(n_data=n)
+
+
 def open_inputs(paths):
     """Open one or more netCDF files concatenated on the case dimension."""
     return xr.open_mfdataset(paths, concat_dim="box", combine="nested")

@@ -21,7 +21,8 @@ import time
 from ..models import (MODEL_TYPES, ConvAEModel, LinearModel, SRCNNRes, UNET,
                       UNETRes, VarAEModel)
 from ..models.sizer import ModelSpec
-from .common import broadcast_scalar_vars, open_inputs
+from .common import (add_devices_flag, broadcast_scalar_vars, mesh_from_flag,
+                     open_inputs)
 
 
 def build_parser():
@@ -64,6 +65,7 @@ def build_parser():
     parser.add_argument("--mask-variable", type=str, help="name of the mask variable", default=None)
     parser.add_argument("--precision", choices=["highest", "high", "default"], default="high",
                         help="conv/matmul precision: high (default) keeps <=1e-5 reference parity at 1.66x the speed of highest; default=1-pass bf16 fast path")
+    add_devices_flag(parser)
     return parser
 
 
@@ -195,6 +197,10 @@ def main(argv=None):
                 spec = ModelSpec()
                 spec.load(json.loads(f.read()))
                 mt.spec = spec
+
+    mesh = mesh_from_flag(args.devices)
+    if mesh is not None:
+        mt.set_mesh(mesh)  # DP training over the mesh's "data" axis
 
     if args.additional_loss:
         # fail fast instead of the reference's silent no-op: only the

@@ -69,6 +69,40 @@ class BaseModel:
 
     def set_mesh(self, mesh):
         self.mesh = mesh
+        self._apply_cache = {}  # placement/chunking depends on the mesh
+
+    def set_apply_dtype(self, dtype):
+        """Parameter storage dtype for the apply path (None = keep f32).
+
+        ``"bfloat16"`` stores weights at rest in bf16, halving weight HBM
+        traffic on the fast (``--precision default``) path; activations and
+        accumulation stay f32, so output error stays at the 1-pass-bf16
+        level (weights are bf16-rounded by the MXU there anyway).
+        """
+        self.apply_dtype = dtype
+        self._apply_cache = {}
+
+    def _apply_params_state(self):
+        """Params/state as fed to the apply graphs (optionally bf16-cast)."""
+        dtype = getattr(self, "apply_dtype", None)
+        if not dtype:
+            return self.params, self.state
+        cached = getattr(self, "_cast_params", None)
+        if cached is None or cached[0] is not self.params:
+            jdt = jnp.dtype(dtype)
+
+            def cast(leaf):
+                arr = jnp.asarray(leaf)
+                if jnp.issubdtype(arr.dtype, jnp.floating):
+                    return arr.astype(jdt)
+                return arr
+
+            self._cast_params = (
+                self.params,
+                jax.tree_util.tree_map(cast, self.params),
+                jax.tree_util.tree_map(cast, self.state),
+            )
+        return self._cast_params[1], self._cast_params[2]
 
     # ---- LR schedule selection (CLI --scheduler-type fix-forward:
     # the reference parses the flag but never wires it, cli/train_cae.py:41)
@@ -118,6 +152,11 @@ class BaseModel:
     def _pad_cases(self, x_np):
         n = x_np.shape[0]
         bs = max(1, int(self.batch_size))
+        if self.mesh is not None:
+            # DP apply: each lax.map step is a batch sharded over the mesh's
+            # "data" axis, so the per-chunk batch must divide evenly
+            n_data = int(self.mesh.shape["data"])
+            bs = -(-bs // n_data) * n_data
         chunks = max(1, math.ceil(n / bs))
         n_pad = chunks * bs
         if n_pad != n:
@@ -126,6 +165,24 @@ class BaseModel:
             )
         return x_np, n, bs, chunks, n_pad
 
+    def _put_chunked(self, x_np, chunks, bs):
+        """Host->device placement of the (chunks, bs, ...) batch stack.
+
+        With a mesh set, the per-chunk batch axis is sharded over "data"
+        (params stay replicated; XLA partitions the forward per-device and
+        the final gather is the single device->host copy)."""
+        xb = x_np.reshape((chunks, bs) + x_np.shape[1:])
+        if self.mesh is None:
+            return jnp.asarray(xb)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            xb,
+            NamedSharding(
+                self.mesh, P(None, "data", *([None] * (xb.ndim - 2)))
+            ),
+        )
+
     def _predict_normalised(self, x_np: np.ndarray) -> np.ndarray:
         """Run the model over all cases; input/output are NHWC numpy."""
         x_np, n, bs, chunks, n_pad = self._pad_cases(x_np)
@@ -133,16 +190,19 @@ class BaseModel:
         if key not in self._apply_cache:
 
             @jax.jit
-            def run(params, state, x):
-                xb = x.reshape((chunks, bs) + x.shape[1:])
+            def run(params, state, xb):
                 yb = jax.lax.map(
                     lambda b: self._forward_eval_p(params, state, b), xb
                 )
+                yb = yb.astype(jnp.float32)
                 return yb.reshape((n_pad,) + yb.shape[2:])
 
             self._apply_cache[key] = run
+        params, state = self._apply_params_state()
         out = np.asarray(
-            self._apply_cache[key](self.params, self.state, jnp.asarray(x_np))
+            self._apply_cache[key](
+                params, state, self._put_chunked(x_np, chunks, bs)
+            )
         )
         return out[:n]
 
@@ -158,18 +218,23 @@ class BaseModel:
         if key not in self._apply_cache:
 
             @jax.jit
-            def run(params, state, x):
-                xb = x.reshape((chunks, bs) + x.shape[1:])
+            def run(params, state, xb):
                 yb = jax.lax.map(
                     lambda b: self._forward_eval_p(params, state, b), xb
                 )
+                # denormalise in f32: Kelvin-scale values quantise badly
+                # in bf16 (~0.25 absolute at 292K)
+                yb = yb.astype(jnp.float32)
                 yb = lo + yb * (hi - lo)
                 yb = yb.reshape((n_pad,) + yb.shape[2:])
                 return jnp.transpose(yb, (0, 3, 1, 2))
 
             self._apply_cache[key] = run
+        params, state = self._apply_params_state()
         out = np.asarray(
-            self._apply_cache[key](self.params, self.state, jnp.asarray(x_np))
+            self._apply_cache[key](
+                params, state, self._put_chunked(x_np, chunks, bs)
+            )
         )
         return out[:n]
 

@@ -194,10 +194,36 @@ class ConvAEModel(BaseModel):
         self.params = {"encoder": enc_p, "decoder": dec_p}
         self.state = {"encoder": enc_s, "decoder": dec_s}
 
+    def _use_fused_decoder(self):
+        """Fused Pallas decoder tail on the apply path (TPU default).
+
+        ``CAE_TPU_FUSED_DECODER=1|0`` overrides; geometry must satisfy
+        ``decoder_kernel.tail_start_index``.  Plain-f32 VPU math — output
+        is HIGHEST-precision grade independent of the MXU precision knob.
+        """
+        choice = os.environ.get("CAE_TPU_FUSED_DECODER")
+        if choice is not None and choice != "1":
+            return False
+        if choice is None and jax.default_backend() != "tpu":
+            return False
+        from ..ops.pallas.decoder_kernel import tail_start_index
+
+        return (
+            self.decoder is not None
+            and tail_start_index(self.decoder) is not None
+        )
+
     def _forward_eval_p(self, params, state, x):
         z, _ = self.encoder.apply(
             params["encoder"], state["encoder"], x, train=False
         )
+        if self._use_fused_decoder():
+            from ..ops.pallas.decoder_kernel import decoder_apply_fused_tail
+
+            return decoder_apply_fused_tail(
+                self.decoder, params["decoder"], state["decoder"], z,
+                interpret=jax.default_backend() != "tpu",
+            )
         y, _ = self.decoder.apply(
             params["decoder"], state["decoder"], z, train=False
         )

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 
 from ..nn import modules as M
@@ -103,6 +104,13 @@ class VarAEModel(ConvAEModel):
         (mu, _logvar), _ = self.encoder.apply(
             params["encoder"], state["encoder"], x, train=False
         )
+        if self._use_fused_decoder():  # inherited: fused Pallas tail on TPU
+            from ..ops.pallas.decoder_kernel import decoder_apply_fused_tail
+
+            return decoder_apply_fused_tail(
+                self.decoder, params["decoder"], state["decoder"], mu,
+                interpret=jax.default_backend() != "tpu",
+            )
         y, _ = self.decoder.apply(
             params["decoder"], state["decoder"], mu, train=False
         )
@@ -130,9 +138,29 @@ class VarAEModel(ConvAEModel):
             weights = msssim_ops.MSSSIM_WEIGHTS[:levels]
             weights = tuple(w / sum(weights) for w in weights)
 
+            # on TPU, route through the fused Pallas kernels (forward AND
+            # analytic backward); elsewhere (CPU tests) use the XLA op.
+            # CAE_TPU_MSSSIM=xla|pallas overrides.
+            choice = os.environ.get("CAE_TPU_MSSSIM")
+            use_pallas = (
+                choice == "pallas"
+                or (choice is None and jax.default_backend() == "tpu")
+            )
+            if use_pallas:
+                import functools
+
+                from ..ops.pallas import msssim_pallas
+
+                _msssim_fn = functools.partial(
+                    msssim_pallas,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                _msssim_fn = msssim_ops.msssim
+
             def ssim_per_sample(out, y):
                 return jnp.mean(
-                    msssim_ops.msssim(
+                    _msssim_fn(
                         out, y, data_range=1.0, weights=weights, average=False
                     ),
                     axis=1,

@@ -1,0 +1,355 @@
+"""Fused ConvAE decoder-tail Pallas kernel.
+
+The ConvAE apply path (reference stack ``decoder.py:39-50`` — ConvT/BN/ReLU
+pyramid up to the output resolution) is HBM-bound in XLA: every stage's
+activation round-trips HBM across the whole batch.  For the flagship
+16x16->256x256 geometry the *tail* stages carry ~95% of that traffic
+(31^2*8 -> 63^2*4 -> 127^2*2 -> 256^2*1), while the head stages
+(3^2*64 ... 31^2*8) are negligible.  This kernel fuses all tail stages —
+transposed conv + folded BatchNorm + ReLU per stage, sigmoid at the end —
+into one VMEM-resident pass per image: one HBM read of the (H, W, C<=8)
+tail input, one HBM write of the final image.
+
+ConvT-inside-Pallas uses the parity (subpixel) decomposition: for stride 2,
+output pixels split into 4 parity planes; each plane is a small VALID
+correlation of the (zero-padded) input with the matching sub-taps of the
+(pre-flipped, HWIO) kernel — implemented as statically-unrolled VPU
+multiply-adds per input channel.  Planes are re-interleaved with
+``pltpu.repeat`` + parity masks (no strided stores needed).  All math is
+f32 on the VPU, so outputs are *HIGHEST*-precision grade regardless of the
+global MXU precision flag.
+
+Weights enter the kernel flattened in SMEM (a few hundred scalars); BN
+running stats are folded into per-stage (w', b') outside the kernel
+(eval-mode only — training keeps the XLA path and its autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...nn.modules import BN_EPS
+
+#: kernel is used when every tail stage satisfies these
+_MAX_TAIL_CIN = 8
+_MAX_K = 4  # tap shift <= 1, matching the fixed 1-pixel zero pad
+#: VMEM guard on the final image
+_MAX_OUT_PIXELS = 512 * 512
+
+
+# --------------------------------------------------------------------------
+# geometry helpers (python ints, trace-time)
+# --------------------------------------------------------------------------
+
+def _taps(k: int, a: int):
+    """Sub-taps of a stride-2 transposed conv for output parity ``a``.
+
+    With the pre-flipped kernel w applied as a VALID correlation over the
+    2x-dilated, (k-1)-padded input (``convops.conv_transpose2d``), output
+    row ``o`` reads input row ``p`` through tap ``ki`` iff
+    ``p = (o + ki - (k-1)) / 2`` is integral.  For ``o = 2m + a`` that
+    selects ``ki = (k-1) - a - 2t`` and ``p = m - t``.
+    Returns [(t, ki), ...] with t >= 0 and 0 <= ki < k.
+    """
+    out = []
+    t = 0
+    while True:
+        ki = (k - 1) - a - 2 * t
+        if ki < 0:
+            break
+        out.append((t, ki))
+        t += 1
+    return out
+
+
+def _plane_rows(o: int) -> int:
+    """Per-parity plane size = ceil(o/2); interleaving two such planes
+    yields >= o rows, and any trailing garbage row lands beyond ``o``."""
+    return (o + 1) // 2
+
+
+def _stage_geometry(i_h, i_w, k_h, k_w):
+    o_h = (i_h - 1) * 2 + k_h
+    o_w = (i_w - 1) * 2 + k_w
+    return o_h, o_w
+
+
+# --------------------------------------------------------------------------
+# kernel body
+# --------------------------------------------------------------------------
+
+def _expand_mats(m: int, o: int):
+    """0/1 parity-expansion matrices E_a (o, m): E_a[2i+a, i] = 1.
+
+    ``E_0 @ P0 + E_1 @ P1`` row-interleaves two parity planes — an MXU
+    matmul instead of the strided store TPUs don't have.  (``pltpu.repeat``
+    tiles rather than element-repeats, so a mask-select interleave is not
+    expressible; the matmul form is exact — 0/1 weights — and keeps the
+    whole stage in VMEM.)
+    """
+    e = np.zeros((2, o, m), np.float32)
+    for a in range(2):
+        idx = np.arange(a, o, 2)
+        e[a, idx, (idx - a) // 2] = 1.0
+    return e
+
+
+def _interleave_cols(p0, p1, f0, f1):
+    """out[:, 2n+b] = p_b[:, n] via right-matmul with F_b = E_b^T."""
+    return jnp.dot(p0, f0, preferred_element_type=jnp.float32) + jnp.dot(
+        p1, f1, preferred_element_type=jnp.float32
+    )
+
+
+def _interleave_rows(p0, p1, e0, e1):
+    return jnp.dot(e0, p0, preferred_element_type=jnp.float32) + jnp.dot(
+        e1, p1, preferred_element_type=jnp.float32
+    )
+
+
+def _stage_fused(chans, w_ref, b_ref, w_off, b_off, geom, act, er_ref, fc_ref):
+    """One ConvT stage on per-channel 2-D planes; returns output channels.
+
+    ``chans``: list of (i_h, i_w) f32 arrays (input channels).
+    ``w_ref``/``b_ref``: flat SMEM refs; ``w_off``/``b_off``: static offsets.
+    ``geom``: (k_h, k_w, cin, cout, i_h, i_w, o_h, o_w).
+    ``er_ref``: (2, o_h, m_h) row-expansion; ``fc_ref``: (2, m_w, o_w).
+    """
+    k_h, k_w, cin, cout, i_h, i_w, o_h, o_w = geom
+    m_h = _plane_rows(o_h)
+    m_w = _plane_rows(o_w)
+    # zero-pad once per input channel: top/left 1 (max tap shift), and
+    # bottom/right so every tap slice [1-t+m for m < M] stays in range
+    pad_b = max(0, m_h - i_h)
+    pad_r = max(0, m_w - i_w)
+    padded = [
+        jnp.pad(c, ((1, pad_b), (1, pad_r))) for c in chans
+    ]
+
+    def w_at(ki, kj, ci, co):
+        return w_ref[w_off + ((ki * k_w + kj) * cin + ci) * cout + co]
+
+    out = []
+    for co in range(cout):
+        planes = {}
+        for a in range(2):
+            for b in range(2):
+                acc = None
+                for ci in range(cin):
+                    xp = padded[ci]
+                    for (ti, ki) in _taps(k_h, a):
+                        for (tj, kj) in _taps(k_w, b):
+                            term = (
+                                xp[1 - ti : 1 - ti + m_h,
+                                   1 - tj : 1 - tj + m_w]
+                                * w_at(ki, kj, ci, co)
+                            )
+                            acc = term if acc is None else acc + term
+                planes[(a, b)] = (
+                    acc if acc is not None
+                    else jnp.zeros((m_h, m_w), jnp.float32)
+                )
+        f0, f1 = fc_ref[0], fc_ref[1]
+        c0 = _interleave_cols(planes[(0, 0)], planes[(0, 1)], f0, f1)
+        c1 = _interleave_cols(planes[(1, 0)], planes[(1, 1)], f0, f1)
+        y = _interleave_rows(c0, c1, er_ref[0], er_ref[1]) + b_ref[b_off + co]
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif act == "sigmoid":
+            y = jax.nn.sigmoid(y)
+        out.append(y)
+    return out
+
+
+def _tail_kernel(x_ref, w_ref, b_ref, *refs, geoms, acts):
+    # refs = [er_0, fc_0, er_1, fc_1, ..., out_ref]
+    out_ref = refs[-1]
+    chans = [x_ref[0, c] for c in range(geoms[0][2])]
+    w_off = b_off = 0
+    for si, (geom, act) in enumerate(zip(geoms, acts)):
+        chans = _stage_fused(
+            chans, w_ref, b_ref, w_off, b_off, geom, act,
+            refs[2 * si], refs[2 * si + 1],
+        )
+        k_h, k_w, cin, cout = geom[:4]
+        w_off += k_h * k_w * cin * cout
+        b_off += cout
+    for c, y in enumerate(chans):
+        out_ref[0, c] = y
+
+
+# --------------------------------------------------------------------------
+# host-side wrapper
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("geoms", "acts", "interpret"))
+def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False):
+    n = x_nchw.shape[0]
+    cin0 = geoms[0][2]
+    i_h, i_w = geoms[0][4], geoms[0][5]
+    cout_last = geoms[-1][3]
+    o_h, o_w = geoms[-1][6], geoms[-1][7]
+    kernel = functools.partial(_tail_kernel, geoms=geoms, acts=acts)
+
+    # per-stage 0/1 parity-expansion matrices (shared across the grid)
+    ef_arrays = []
+    ef_specs = []
+    for (k_h, k_w, _ci, _co, ih, iw, oh, ow) in geoms:
+        m_h, m_w = _plane_rows(oh), _plane_rows(ow)
+        er = _expand_mats(m_h, oh)  # (2, oh, m_h)
+        fc = np.transpose(_expand_mats(m_w, ow), (0, 2, 1))  # (2, m_w, ow)
+        ef_arrays += [jnp.asarray(er), jnp.asarray(fc)]
+        ef_specs += [
+            pl.BlockSpec(
+                er.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                fc.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, cin0, i_h, i_w), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *ef_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout_last, o_h, o_w), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, cout_last, o_h, o_w), jnp.float32),
+        interpret=interpret,
+    )(x_nchw, w_flat, b_flat, *ef_arrays)
+    return out
+
+
+def fold_tail_params(decoder, params, state, start):
+    """Fold eval-mode BatchNorm into each tail stage's (w, b); returns
+    (geoms, acts, w_flat, b_flat) ready for the kernel."""
+    layers = decoder.layers
+    n_layers = len(layers)
+    geoms = []
+    acts = []
+    w_parts = []
+    b_parts = []
+    for i in range(start, n_layers):
+        spec = layers[i]
+        k_h, k_w = spec.kernel_hw
+        cin = int(spec.get_input_dimensions()[0])
+        cout = int(spec.get_output_dimensions()[0])
+        i_hh = int(spec.get_input_dimensions()[1])
+        i_ww = int(spec.get_input_dimensions()[2])
+        o_h, o_w = _stage_geometry(i_hh, i_ww, k_h, k_w)
+        w = params["convs"][i]["w"].astype(jnp.float32)
+        b = params["convs"][i]["b"].astype(jnp.float32)
+        if i != n_layers - 1:
+            bn_p = params["bns"][i]
+            bn_s = state["bns"][i]
+            inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + BN_EPS)
+            g = inv * bn_p["scale"].astype(jnp.float32)  # (cout,)
+            w = w * g  # broadcast over HWIO's O dim
+            b = (b - bn_s["mean"].astype(jnp.float32)) * g + bn_p[
+                "bias"
+            ].astype(jnp.float32)
+            acts.append("relu")
+        else:
+            acts.append("sigmoid")
+        geoms.append((int(k_h), int(k_w), cin, cout, i_hh, i_ww, o_h, o_w))
+        w_parts.append(w.reshape(-1))
+        b_parts.append(b.reshape(-1))
+    return (
+        tuple(geoms),
+        tuple(acts),
+        jnp.concatenate(w_parts),
+        jnp.concatenate(b_parts),
+    )
+
+
+def tail_start_index(decoder) -> int | None:
+    """First stage index from which the fused tail kernel applies, or None.
+
+    Requirements per tail stage: stride 2, no output_padding, kernel <=
+    ``_MAX_K``, input channels <= ``_MAX_TAIL_CIN``; final image within the
+    VMEM guard.  The returned tail always reaches the last stage.
+    """
+    layers = decoder.layers
+    if not layers:
+        return None
+    last = layers[-1]
+    o_c, o_hh, o_ww = last.get_output_dimensions()
+    if o_hh * o_ww > _MAX_OUT_PIXELS:
+        return None
+    start = None
+    for i, spec in enumerate(layers):
+        k_h, k_w = spec.kernel_hw
+        ok = (
+            spec.get_stride() == 2
+            and not spec.get_output_padding()
+            and max(int(k_h), int(k_w)) <= _MAX_K
+            and int(spec.get_input_dimensions()[0]) <= _MAX_TAIL_CIN
+        )
+        if ok:
+            if start is None:
+                start = i
+        else:
+            start = None
+    return start
+
+
+def decoder_apply_fused_tail(
+    decoder, params, state, z, start=None, interpret=False
+):
+    """Eval-mode ConvDecoder.apply with the tail stages fused in Pallas.
+
+    Bit-compatible contract: matches ``decoder.apply(..., train=False)`` to
+    f32 rounding (the kernel is plain f32 VPU math; the XLA path's output
+    differs only by its conv precision mode).
+    """
+    if start is None:
+        start = tail_start_index(decoder)
+    assert start is not None, "unsupported decoder geometry for fused tail"
+
+    from ...ops.convops import conv_transpose2d, dense
+    from ...nn.modules import bn_apply
+
+    c, y, x = decoder.unflat_dims
+    h = jax.nn.relu(dense(z, params["fc1"]["w"], params["fc1"]["b"]))
+    h = dense(h, params["fc2"]["w"], params["fc2"]["b"])
+    h = h.reshape(h.shape[0], y, x, c)
+    for i in range(start):
+        spec = decoder.layers[i]
+        h = (
+            conv_transpose2d(
+                h,
+                params["convs"][i]["w"],
+                stride=spec.get_stride(),
+                output_padding=spec.get_output_padding(),
+            )
+            + params["convs"][i]["b"]
+        )
+        h, _ = bn_apply(
+            params["bns"][i], state["bns"][i], h, False, axes=(0, 1, 2)
+        )
+        h = jax.nn.relu(h)
+
+    geoms, acts, w_flat, b_flat = fold_tail_params(
+        decoder, params, state, start
+    )
+    x_nchw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+    out = _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret)
+    return jnp.transpose(out, (0, 2, 3, 1))  # NCHW -> NHWC

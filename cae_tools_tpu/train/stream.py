@@ -36,7 +36,15 @@ def data_nbytes(data: dict) -> int:
 
 
 class StreamingTrainer(Trainer):
-    """Trainer variant feeding batches host->device with double buffering."""
+    """Trainer variant feeding batches host->device with double buffering.
+
+    ``use_global_batch``: None (auto — on when ``jax.process_count() > 1``)
+    or an explicit bool.  When on, each process feeds only its local rows
+    and batches are assembled as globally-sharded arrays via
+    ``jax.make_array_from_process_local_data`` — the multi-host recipe.
+    """
+
+    use_global_batch: bool | None = None
 
     def fit(
         self,
@@ -86,11 +94,18 @@ class StreamingTrainer(Trainer):
             )
             return loss, aux
 
+        multihost = self.use_global_batch
+        if multihost is None:
+            multihost = jax.process_count() > 1
+
         def put(batch):
             if self.mesh is not None:
                 n_data = self.mesh.shape["data"]
+                # each process only needs its share of the global batch to
+                # be device-divisible
+                local_div = max(1, n_data // jax.process_count())
                 bs = next(iter(batch.values())).shape[0]
-                pad = (-bs) % n_data
+                pad = (-bs) % (local_div if multihost else n_data)
                 if pad:
                     # pad to a mesh-divisible batch; padded rows carry zero
                     # weight so loss/grad semantics are unchanged
@@ -101,6 +116,16 @@ class StreamingTrainer(Trainer):
                             else [v, np.repeat(v[-1:], pad, axis=0)],
                             axis=0,
                         )
+                        for k, v in batch.items()
+                    }
+                if multihost:
+                    # multi-controller path: this process holds only its own
+                    # rows; assemble the globally-sharded batch without any
+                    # host gathering the full array (SURVEY §5 recipe)
+                    from ..parallel.multihost import global_batch_from_local
+
+                    return {
+                        k: global_batch_from_local(self.mesh, np.asarray(v))
                         for k, v in batch.items()
                     }
                 return {

@@ -177,6 +177,49 @@ def test_dual_channel_attention_shapes():
     assert float(jnp.max(jnp.abs(out))) <= float(jnp.max(jnp.abs(x)))
 
 
+def test_bf16_apply_dtype_parity():
+    """set_apply_dtype('bfloat16'): bf16 weight storage keeps the output
+    near the 1-pass-bf16 error level and returns f32 (VERDICT item 8)."""
+    from cae_tools_tpu.models.base import BaseModel
+    from cae_tools_tpu.models.sizer import create_model_spec
+
+    spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(64, 64), output_channels=1,
+    )
+    enc = M.ConvEncoder(spec.input_layers, 8, 16)
+    dec = M.ConvDecoder(spec.output_layers, 8, 16)
+    ep, es = enc.init(jax.random.PRNGKey(0))
+    dp, ds = dec.init(jax.random.PRNGKey(1))
+
+    class _Model(BaseModel):
+        def __init__(self):
+            super().__init__()
+            self.batch_size = 4
+            self.params = {"e": ep, "d": dp}
+            self.state = {"e": es, "d": ds}
+
+        def _forward_eval_p(self, p, s, x):
+            z, _ = enc.apply(p["e"], s["e"], x, train=False)
+            y, _ = dec.apply(p["d"], s["d"], z, train=False)
+            return y
+
+    mt = _Model()
+    x = np.random.default_rng(0).random((10, 16, 16, 1), np.float32)
+    y32 = mt._predict_normalised(x)
+    mt.set_apply_dtype("bfloat16")
+    y16 = mt._predict_normalised(x)
+    assert y16.dtype == np.float32
+    assert np.abs(y32 - y16).max() < 2e-3  # sigmoid-bounded outputs
+    # cast cache invalidates when params are swapped
+    first_cast = mt._apply_params_state()[0]
+    mt.params = jax.tree_util.tree_map(lambda a: a * 1.0, mt.params)
+    assert mt._apply_params_state()[0] is not first_cast
+    # denormalised path stays f32-denormalised (Kelvin-scale safe)
+    z32 = mt._predict_denorm_nchw(x, 250.0, 320.0)
+    assert z32.dtype == np.float32 and np.isfinite(z32).all()
+
+
 def test_gradient_penalty():
     def disc(z):
         return jnp.mean(z, axis=(1, 2, 3))  # linear critic, grad norm const

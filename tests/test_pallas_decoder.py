@@ -1,0 +1,127 @@
+"""Fused Pallas decoder-tail kernel: parity vs the XLA ConvDecoder
+(interpret mode on CPU; the compiled path runs on real TPU via bench)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cae_tools_tpu.models.sizer import LayerSpec, create_model_spec
+from cae_tools_tpu.nn import modules as M
+from cae_tools_tpu.ops import convops
+from cae_tools_tpu.ops.pallas.decoder_kernel import (
+    decoder_apply_fused_tail,
+    tail_start_index,
+)
+
+
+def _decoder_with_state(spec, latent=16, fc=32, seed=0):
+    dec = M.ConvDecoder(spec.output_layers, latent, fc)
+    dp, ds = dec.init(jax.random.PRNGKey(seed))
+    # non-trivial BN running stats so the eval-mode folding is exercised
+    rng = np.random.default_rng(seed)
+
+    def jitter(a):
+        if a.dtype == jnp.float32:
+            return a + 0.3 * jnp.asarray(
+                np.abs(rng.normal(size=a.shape)).astype(np.float32)
+            )
+        return a
+
+    ds = jax.tree_util.tree_map(jitter, ds)
+    return dec, dp, ds
+
+
+@pytest.mark.parametrize(
+    "in_size,out_size",
+    [
+        ((16, 16), (256, 256)),   # flagship: k3 stages + final k4
+        ((24, 20), (280, 256)),   # non-square grid
+        ((6, 6), (250, 254)),     # odd/even output mix
+    ],
+)
+def test_fused_tail_matches_xla_decoder(in_size, out_size):
+    convops.set_precision("highest")
+    try:
+        spec = create_model_spec(
+            input_size=in_size, input_channels=1,
+            output_size=out_size, output_channels=1,
+        )
+        dec, dp, ds = _decoder_with_state(spec)
+        start = tail_start_index(dec)
+        assert start is not None
+        z = jnp.asarray(
+            np.random.default_rng(2).normal(size=(2, 16)).astype(np.float32)
+        )
+        ref, _ = dec.apply(dp, ds, z, train=False)
+        out = decoder_apply_fused_tail(dec, dp, ds, z, interpret=True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+    finally:
+        convops.set_precision("high")
+
+
+def test_fused_tail_multichannel_output():
+    """Final stage with >1 output channel exercises the multi-plane write."""
+    convops.set_precision("highest")
+    try:
+        spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(96, 96), output_channels=2,
+        )
+        dec, dp, ds = _decoder_with_state(spec, seed=3)
+        z = jnp.asarray(
+            np.random.default_rng(4).normal(size=(2, 16)).astype(np.float32)
+        )
+        ref, _ = dec.apply(dp, ds, z, train=False)
+        out = decoder_apply_fused_tail(dec, dp, ds, z, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+    finally:
+        convops.set_precision("high")
+
+
+def test_tail_start_rejects_unsupported():
+    # stride 1 disables the parity decomposition
+    ls = LayerSpec(False, 3, 1, (4, 8, 8), (1, 10, 10), 0)
+    dec = M.ConvDecoder([ls], 4, 8)
+    assert tail_start_index(dec) is None
+    # output_padding unsupported
+    ls2 = LayerSpec(False, 3, 2, (4, 8, 8), (1, 18, 18), 1)
+    dec2 = M.ConvDecoder([ls2], 4, 8)
+    assert tail_start_index(dec2) is None
+    # wide kernels unsupported (tap shift > 1)
+    ls3 = LayerSpec(False, 6, 2, (4, 8, 8), (1, 20, 20), 0)
+    dec3 = M.ConvDecoder([ls3], 4, 8)
+    assert tail_start_index(dec3) is None
+
+
+def test_model_predict_uses_fused_path(monkeypatch, tmp_path_factory):
+    """CAE_TPU_FUSED_DECODER=1 routes ConvAEModel apply through the kernel
+    (interpret on CPU) and matches the default path."""
+    from cae_tools_tpu.data.datagen import generate_spec_files
+    from cae_tools_tpu.models import ConvAEModel
+    from cae_tools_tpu.xrcompat import xr
+
+    root = str(tmp_path_factory.mktemp("fd"))
+    folder = generate_spec_files("circle", root, n=8, seed=9)
+    train_ds = xr.open_dataset(folder + "/train.nc")
+    test_ds = xr.open_dataset(folder + "/test.nc")
+    mt = ConvAEModel(batch_size=4, nr_epochs=2, test_interval=2,
+                     encoded_dim_size=4, fc_size=8)
+    mt.train(["lowres"], "hires", train_ds, test_ds)
+
+    x = np.random.default_rng(0).random((6, 16, 16, 1), np.float32)
+    monkeypatch.delenv("CAE_TPU_FUSED_DECODER", raising=False)
+    assert not mt._use_fused_decoder()  # CPU backend: off by default
+    ref = mt._predict_normalised(x)
+
+    monkeypatch.setenv("CAE_TPU_FUSED_DECODER", "1")
+    mt._apply_cache = {}
+    assert mt._use_fused_decoder()
+    out = mt._predict_normalised(x)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)

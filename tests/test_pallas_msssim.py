@@ -60,6 +60,57 @@ def test_msssim_pallas_gradient_matches():
     )
 
 
+def test_msssim_pallas_gradient_dy_and_per_sample():
+    """Analytic backward (round 2): dy path and the per-sample
+    (average=False) cotangent both match XLA autodiff."""
+    rng = np.random.default_rng(4)
+    x = rng.uniform(size=(2, 176, 176, 1)).astype(np.float32)
+    y = np.clip(x + rng.normal(scale=0.1, size=x.shape), 0, 1).astype(np.float32)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+
+    g_pallas = jax.grad(lambda b: msssim_pallas(x, b, interpret=True))(y)
+    g_xla = jax.grad(lambda b: xla_ms.msssim(x, b))(y)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-4, atol=1e-6
+    )
+
+    # per-sample values + weighted reduction (the VarAE loss pattern)
+    wvec = jnp.asarray([1.0, 0.0])  # padded-row weighting
+
+    def loss_pallas(a):
+        per = msssim_pallas(a, y, interpret=True, average=False)
+        return jnp.sum(jnp.mean(per, axis=1) * wvec)
+
+    def loss_xla(a):
+        per = xla_ms.msssim(a, y, average=False)
+        return jnp.sum(jnp.mean(per, axis=1) * wvec)
+
+    assert float(loss_pallas(x)) == pytest.approx(float(loss_xla(x)), abs=1e-5)
+    gp = jax.grad(loss_pallas)(x)
+    gx = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-6)
+    # the zero-weight sample gets exactly zero gradient
+    assert float(jnp.abs(gp[1]).max()) == 0.0
+
+
+def test_ssim_scale_bwd_kernel_matches_xla_vjp():
+    """The per-scale backward kernel alone vs jax.vjp of the XLA terms."""
+    from cae_tools_tpu.ops.pallas.msssim_kernel import _ssim_scale_bwd_pallas
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(size=(2, 48, 40, 2)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(size=(2, 48, 40, 2)).astype(np.float32))
+    ds = jnp.asarray(rng.normal(size=(2, 2)).astype(np.float32))
+    dcs = jnp.asarray(rng.normal(size=(2, 2)).astype(np.float32))
+
+    win = jnp.asarray(xla_ms._gaussian_kernel(11, 1.5))
+    _, vjp = jax.vjp(lambda a, b: xla_ms._ssim_terms(a, b, win, 1.0), x, y)
+    dx_ref, dy_ref = vjp((ds, dcs))
+    dx, dy = _ssim_scale_bwd_pallas(x, y, ds, dcs, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref), rtol=1e-4, atol=1e-6)
+
+
 def test_small_images_validated_or_agree():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.uniform(size=(2, 32, 32, 1)).astype(np.float32))

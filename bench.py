@@ -28,7 +28,16 @@ _BATCH = int(os.environ.get("CAE_BENCH_BATCH", "512"))
 _ITERS = int(os.environ.get("CAE_BENCH_ITERS", "20"))
 
 
-def build_jax_forward(spec, latent, fc, batch):
+def build_jax_forward(spec, latent, fc, batch, fused_tail=False,
+                      bf16_weights=False):
+    """Closure-style jitted forward.
+
+    NOTE (measured on the axon-tunneled TPU, 2026-08-16): repeated jit
+    calls whose *explicit argument handles* are all identical are memoized
+    by the tunnel (~0.06 ms/call regardless of the graph), which silently
+    turns a throughput loop into a dispatch benchmark.  Closing over the
+    params and passing only ``x`` measures real execution.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -38,18 +47,36 @@ def build_jax_forward(spec, latent, fc, batch):
     dec = M.ConvDecoder(spec.output_layers, latent, fc)
     ep, es = enc.init(jax.random.PRNGKey(0))
     dp, ds = dec.init(jax.random.PRNGKey(1))
+    if bf16_weights:
+        ep, es, dp, ds = cast_params_bf16((ep, es, dp, ds))
 
-    @jax.jit
-    def forward(params, x):
-        (ep, es, dp, ds) = params
-        z, _ = enc.apply(ep, es, x, train=False)
-        y, _ = dec.apply(dp, ds, z, train=False)
-        return y
+    if fused_tail:
+        # the TPU product-default apply path: fused Pallas decoder tail
+        from cae_tools_tpu.ops.pallas.decoder_kernel import (
+            decoder_apply_fused_tail,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def forward(x):
+            z, _ = enc.apply(ep, es, x, train=False)
+            return decoder_apply_fused_tail(
+                dec, dp, ds, z, interpret=interpret
+            )
+
+    else:
+
+        @jax.jit
+        def forward(x):
+            z, _ = enc.apply(ep, es, x, train=False)
+            y, _ = dec.apply(dp, ds, z, train=False)
+            return y
 
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, 16, 16, 1), dtype=np.float32)
     )
-    return forward, (ep, es, dp, ds), x
+    return forward, x
 
 
 def cast_params_bf16(params):
@@ -203,15 +230,15 @@ def build_torch_forward(spec, latent, fc, batch):
     return model, xb
 
 
-def time_jax(fn, args, iters):
+def time_jax(fn, x, iters):
     import jax
 
-    out = fn(*args)
+    out = fn(x)
     jax.block_until_ready(out)  # compile + warm
-    jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(x))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
+        out = fn(x)
     jax.block_until_ready(out)
     return time.perf_counter() - t0
 
@@ -294,22 +321,27 @@ def main():
         stride=2, kernel_size=3,
     )
 
-    # ---- apply: parity-grade HIGH precision (headline) ---------------------
+    # ---- apply: fused Pallas decoder tail (the TPU product default;
+    # f32 VPU math => HIGHEST-grade parity) — the headline ------------------
     convops.set_precision("high")
-    forward, params, x = build_jax_forward(spec, latent, fc, batch)
     jax_iters = _ITERS
-    jax_ips = batch * jax_iters / time_jax(forward, (params, x), jax_iters)
+    forward_k, x_k = build_jax_forward(spec, latent, fc, batch, fused_tail=True)
+    jax_ips = batch * jax_iters / time_jax(forward_k, x_k, jax_iters)
+
+    # ---- apply: pure-XLA HIGH precision (parity-grade fallback path) -------
+    forward, x = build_jax_forward(spec, latent, fc, batch)
+    xla_high_ips = batch * jax_iters / time_jax(forward, x, jax_iters)
 
     # ---- apply: bf16-MXU default-precision fast path ------------------------
     convops.set_precision("default")
-    forward_f, params_f, x_f = build_jax_forward(spec, latent, fc, batch)
-    fast_ips = batch * jax_iters / time_jax(forward_f, (params_f, x_f), jax_iters)
+    forward_f, x_f = build_jax_forward(spec, latent, fc, batch)
+    fast_ips = batch * jax_iters / time_jax(forward_f, x_f, jax_iters)
 
     # ---- apply: fast path + bf16 parameter storage --------------------------
-    params_bf16 = cast_params_bf16(params_f)
-    bf16w_ips = batch * jax_iters / time_jax(
-        forward_f, (params_bf16, x_f), jax_iters
+    forward_w, x_w = build_jax_forward(
+        spec, latent, fc, batch, bf16_weights=True
     )
+    bf16w_ips = batch * jax_iters / time_jax(forward_w, x_w, jax_iters)
     convops.set_precision("high")
 
     # ---- train: ConvAE + UNET steady state (HIGH, the training default) ----
@@ -347,6 +379,7 @@ def main():
         "vs_baseline": round(jax_ips / torch_ips, 2),
         "baseline_torch_cpu_images_per_sec": round(torch_ips, 2),
         "baseline_torch_cpu_spread": round(torch_spread, 3),
+        "xla_high_images_per_sec": round(xla_high_ips, 2),
         "bf16_fast_path_images_per_sec": round(fast_ips, 2),
         "bf16_weights_fast_path_images_per_sec": round(bf16w_ips, 2),
         "batch": batch,

@@ -14,10 +14,13 @@ ConvT-inside-Pallas uses the parity (subpixel) decomposition: for stride 2,
 output pixels split into 4 parity planes; each plane is a small VALID
 correlation of the (zero-padded) input with the matching sub-taps of the
 (pre-flipped, HWIO) kernel — implemented as statically-unrolled VPU
-multiply-adds per input channel.  Planes are re-interleaved with
-``pltpu.repeat`` + parity masks (no strided stores needed).  All math is
-f32 on the VPU, so outputs are *HIGHEST*-precision grade regardless of the
-global MXU precision flag.
+multiply-adds per input channel.  Planes are re-interleaved by 0/1
+expansion-matrix matmuls on the MXU: TPUs have no strided vector store,
+``pltpu.repeat`` tiles rather than element-repeats, and the sublane
+stack+reshape alternative measured *slower* than the matmuls on v5e
+(7.06 vs 5.21 us/img at batch 1024 — relayouts are not free).  All math
+is f32 (VPU taps, f32 MXU interleave), so outputs are *HIGHEST*-precision
+grade regardless of the global MXU precision flag.
 
 Weights enter the kernel flattened in SMEM (a few hundred scalars); BN
 running stats are folded into per-stage (w', b') outside the kernel

@@ -152,13 +152,23 @@ def _scale_bwd_kernel(
         return out
 
     def blur_t(m):
-        """Transpose of ``blur``: (hv, wv) -> (h, w) full correlation."""
-        acc = jnp.zeros((h, wv), m.dtype)
+        """Transpose of ``blur``: (hv, wv) -> (h, w).
+
+        The window is symmetric, so G^T = full correlation = VALID blur of
+        the (WIN-1)-zero-padded map — same shifted multiply-adds as the
+        forward (Mosaic has no scatter-add, so no ``.at[].add`` here).
+        """
+        mp = jnp.pad(m, ((_WIN - 1, _WIN - 1), (_WIN - 1, _WIN - 1)))
+        # horizontal: (hv+2p, wv+2p) -> (hv+2p, w)
+        acc = None
         for k in range(_WIN):
-            acc = acc.at[k : k + hv, :].add(m * win[k])
-        out = jnp.zeros((h, w), m.dtype)
+            term = mp[:, k : k + w] * win[k]
+            acc = term if acc is None else acc + term
+        # vertical: -> (h, w)
+        out = None
         for k in range(_WIN):
-            out = out.at[:, k : k + wv].add(acc * win[k])
+            term = acc[k : k + h, :] * win[k]
+            out = term if out is None else out + term
         return out
 
     mu_x = blur(x)

@@ -145,6 +145,31 @@ def test_cli_unhandled_method_fails_fast(data, tmp_path):
         )
 
 
+def test_cli_apply_dtype_bf16(data, tmp_path):
+    """--apply-dtype bfloat16 stores weights in bf16; outputs stay f32 and
+    within the 1-pass-bf16 error class of the f32 run."""
+    train_nc = os.path.join(data, "train.nc")
+    test_nc = os.path.join(data, "test.nc")
+    model_folder = str(tmp_path / "model_conv")
+    train_cae.main([
+        "--train-inputs", train_nc, "--test-inputs", test_nc,
+        "--model-folder", model_folder,
+        "--input-variables", "lowres", "--output-variable", "hires",
+        "--nr-epochs", "2", "--batch-size", "6",
+        "--latent-size", "4", "--fc-size", "8", "--method", "conv",
+    ])
+    out32 = str(tmp_path / "o32.nc")
+    out16 = str(tmp_path / "o16.nc")
+    apply_cae.main([test_nc, out32, "--model-folder", model_folder])
+    apply_cae.main([test_nc, out16, "--model-folder", model_folder,
+                    "--apply-dtype", "bfloat16", "--precision", "default"])
+    a = xr.open_dataset(out32)["model_output"].values
+    b = xr.open_dataset(out16)["model_output"].values
+    assert b.dtype == np.float32
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 2e-3 * max(scale, 1.0)
+
+
 def test_cli_additional_loss_fails_fast(data, tmp_path):
     """Unknown kinds and unsupported methods error instead of silently
     no-opping (VERDICT round-1 missing #5)."""

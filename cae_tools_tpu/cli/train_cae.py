@@ -7,8 +7,9 @@ invocations keep working; behavioral fixes over the reference snapshot
  * ``--method var``/``vae`` construct :class:`VarAEModel` (the reference
    defaults to ``var`` yet never constructs it -> NameError)
  * ``--mask-variable`` is accepted by every model's ``train``
- * ``unet_res``/``srcnn_res``/``resunet_gan`` fail fast with a clear message
-   (accepted-but-unhandled upstream)
+ * ``unet_res``/``srcnn_res``/``resunet_gan`` are real model variants here
+   (accepted-but-unhandled upstream; ``resunet_gan`` trains the residual
+   UNet adversarially with a WGAN-GP conditional critic)
 """
 
 from __future__ import annotations
@@ -18,8 +19,8 @@ import json
 import os
 import time
 
-from ..models import (MODEL_TYPES, ConvAEModel, LinearModel, SRCNNRes, UNET,
-                      UNETRes, VarAEModel)
+from ..models import (MODEL_TYPES, ConvAEModel, LinearModel, ResUNetGAN,
+                      SRCNNRes, UNET, UNETRes, VarAEModel)
 from ..models.sizer import ModelSpec
 from .common import (add_devices_flag, broadcast_scalar_vars, mesh_from_flag,
                      open_inputs)
@@ -46,6 +47,9 @@ def build_parser():
     parser.add_argument("--lambda-pearson", type=float, help="controls the strength of the pearson loss", default=1)
     parser.add_argument("--lambda-ssim", type=float, help="controls the strength of the ssim loss", default=1)
     parser.add_argument("--lambda-additional", type=float, help="controls the strength of additional regularization", default=1)
+    parser.add_argument("--lambda-adv", type=float, help="strength of the adversarial loss term (resunet_gan)", default=1e-3)
+    parser.add_argument("--lambda-gp", type=float, help="strength of the WGAN-GP gradient penalty (resunet_gan)", default=10.0)
+    parser.add_argument("--n-critic", type=int, help="critic updates per generator update (resunet_gan)", default=1)
     parser.add_argument("--weight-decay", type=float, help="weight decay coefficient", default=1e-5)
     parser.add_argument("--dropout-rate", type=float, help="dropout rate", default=1e-1)
     parser.add_argument("--additional-loss", type=str, help="additional loss types ('contrastive', 'histogram', 'perceptual')", default=None)
@@ -139,12 +143,27 @@ def build_model(args):
             weight_decay=args.weight_decay,
             **common,
         )
+    if args.method == "resunet_gan":
+        return ResUNetGAN(
+            fc_size=args.fc_size,
+            encoded_dim_size=args.latent_size,
+            lambda_l1=args.lambda_l1,
+            lambda_pearson=args.lambda_pearson,
+            lambda_adv=args.lambda_adv,
+            lambda_gp=args.lambda_gp,
+            n_critic=args.n_critic,
+            database_path=args.database_path,
+            weight_decay=args.weight_decay,
+            dropout_rate=args.dropout_rate,
+            conv_kernel_size=args.kernel_size,
+            conv_stride=args.stride,
+            conv_input_layer_count=args.input_layer_count,
+            conv_output_layer_count=args.output_layer_count,
+            **common,
+        )
     if args.method == "linear":
         return LinearModel(database_path=args.database_path, weight_decay=args.weight_decay, **common)
-    raise SystemExit(
-        f"method {args.method!r} is not implemented "
-        "(resunet_gan was accepted-but-unhandled in the reference too)"
-    )
+    raise SystemExit(f"method {args.method!r} is not implemented")
 
 
 def main(argv=None):

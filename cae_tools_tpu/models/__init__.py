@@ -4,6 +4,7 @@ from .conv_ae_model import ConvAEModel  # noqa: F401
 from .linear_model import LinearModel  # noqa: F401
 from .var_ae_model import VarAEModel  # noqa: F401
 from .unet_model import UNET, UNETRes  # noqa: F401
+from .resunet_gan import ResUNetGAN  # noqa: F401
 from .srcnn_res_model import SRCNNRes  # noqa: F401
 from .metrics import ModelMetric  # noqa: F401
 
@@ -15,6 +16,7 @@ MODEL_TYPES = {
     "VarAEModel": VarAEModel,
     "UNET": UNET,
     "UNETRes": UNETRes,
+    "ResUNetGAN": ResUNetGAN,
     "SRCNNRes": SRCNNRes,
 }
 

@@ -163,8 +163,10 @@ class UNET(BaseModel):
         y, _ = self._net_apply(params, state, x, train=False)
         return y
 
-    def _make_loss_fn(self):
-        encoder, decoder = self.encoder, self.decoder
+    def _make_content_loss(self):
+        """Content-loss term on a network output: masked MSE + Pearson
+        (+ optional ``--additional-loss``).  Split from the forward pass so
+        the adversarial trainer (``ResUNetGAN``) can reuse it."""
         lambda_pearson = self.lambda_pearson
 
         # optional additional term (--additional-loss); the reference
@@ -188,10 +190,7 @@ class UNET(BaseModel):
                 "'perceptual', 'contrastive' or 'histogram'"
             )
 
-        net_apply = self._net_apply
-
-        def loss_fn(params, state, rng, batch, train):
-            out, new_state = net_apply(params, state, batch["x"], train, rng=rng)
+        def content_loss(out, batch):
             w = batch["w"][:, None, None, None]
             mask = jnp.broadcast_to(batch["m"], out.shape) * w
             mse = L.masked_mse(out, batch["y"], mask)
@@ -216,6 +215,17 @@ class UNET(BaseModel):
                     out, batch["y"]
                 )
             aux = {"mse": mse, "pearson_loss": pearson_loss}
+            return loss, aux
+
+        return content_loss
+
+    def _make_loss_fn(self):
+        content_loss = self._make_content_loss()
+        net_apply = self._net_apply
+
+        def loss_fn(params, state, rng, batch, train):
+            out, new_state = net_apply(params, state, batch["x"], train, rng=rng)
+            loss, aux = content_loss(out, batch)
             return loss, (new_state, aux)
 
         return loss_fn

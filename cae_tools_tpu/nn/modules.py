@@ -413,6 +413,70 @@ def dual_channel_attention_apply(params, x):
 
 
 @dataclass
+class PatchCritic:
+    """Conditional PatchGAN-style Wasserstein critic for ``resunet_gan``.
+
+    The reference accepts ``--method resunet_gan`` (``cli/train_cae.py:42``)
+    and carries WGAN-GP leftovers (``unet.py:277-293`` gradient penalty)
+    but never shipped a GAN model; this provides the capability.  The
+    critic scores (real|generated) high-res images conditioned on the
+    bilinear-upsampled low-res input (pix2pix-style channel concat): a
+    stack of stride-2 4x4 convs with LeakyReLU(0.2) — no normalisation, as
+    WGAN-GP requires the critic's gradient penalty be per-sample — then a
+    1x1 conv to a patch score map, averaged to one score per image.
+
+    Layer count adapts to the image geometry (halving until the patch map
+    reaches ~4 px or ``max_layers``), so the same module covers the test
+    fixtures (32x32) and the production 256x256/280x256 grids with static
+    shapes throughout.
+    """
+
+    image_shape: tuple  # generated/high-res image shape (C, Y, X)
+    cond_channels: int = 0
+    base_channels: int = 32
+    max_layers: int = 4
+
+    def _plan(self):
+        cin = self.image_shape[0] + self.cond_channels
+        h, w = self.image_shape[1], self.image_shape[2]
+        layers = []
+        cout = self.base_channels
+        while len(layers) < self.max_layers and min(h, w) >= 4:
+            layers.append({"cin": cin, "cout": cout, "k": 4, "s": 2, "p": 1})
+            h = (h - 2) // 2 + 1
+            w = (w - 2) // 2 + 1
+            cin, cout = cout, min(cout * 2, 8 * self.base_channels)
+        if not layers:  # degenerate tiny images: one SAME-padded conv
+            layers.append(
+                {"cin": cin, "cout": self.base_channels, "k": 3, "s": 1, "p": 1}
+            )
+            cin = self.base_channels
+        return layers, cin
+
+    def init(self, rng):
+        layers, head_cin = self._plan()
+        params = {"convs": []}
+        for i, l in enumerate(layers):
+            rng, sub = jax.random.split(rng)
+            params["convs"].append(
+                conv_params_default(sub, l["k"], l["k"], l["cin"], l["cout"])
+            )
+        rng, sub = jax.random.split(rng)
+        params["head"] = conv_params_default(sub, 1, 1, head_cin, 1)
+        return params
+
+    def apply(self, params, img, cond=None):
+        """(N, H, W, C) image [+ (N, H, W, Cc) conditioning] -> (N,) scores."""
+        x = img if cond is None else jnp.concatenate([img, cond], axis=-1)
+        layers, _ = self._plan()
+        for l, p in zip(layers, params["convs"]):
+            x = conv2d(x, p["w"], stride=l["s"], padding=l["p"]) + p["b"]
+            x = jax.nn.leaky_relu(x, 0.2)
+        x = conv2d(x, params["head"]["w"]) + params["head"]["b"]
+        return jnp.mean(x, axis=(1, 2, 3))
+
+
+@dataclass
 class PerceptualFeatureLoss:
     """Feature-space MSE perceptual loss.
 

@@ -1,4 +1,5 @@
-"""Lifecycle tests for the residual model variants (srcnn_res, unet_res)."""
+"""Lifecycle tests for the residual model variants (srcnn_res, unet_res,
+resunet_gan)."""
 
 import json
 import os
@@ -7,7 +8,7 @@ import numpy as np
 import pytest
 
 from cae_tools_tpu.cli import apply_cae, train_cae
-from cae_tools_tpu.models import SRCNNRes, UNETRes, load_model
+from cae_tools_tpu.models import ResUNetGAN, SRCNNRes, UNETRes, load_model
 from cae_tools_tpu.xrcompat import xr
 
 
@@ -87,8 +88,51 @@ def test_unet_res_lifecycle(data, tmp_path):
     )
 
 
+def test_resunet_gan_lifecycle(data, tmp_path):
+    train_ds = _load(data, "train.nc")
+    test_ds = _load(data, "test.nc")
+    folder = str(tmp_path / "resunetgan")
+    mt = ResUNetGAN(
+        batch_size=6, nr_epochs=4, test_interval=2,
+        encoded_dim_size=4, fc_size=16,
+        lambda_adv=1e-3, lambda_gp=10.0, n_critic=2,
+    )
+    mt.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    # the recorded test loss is the content loss (masked MSE + Pearson),
+    # not the moving adversarial target — must stay finite and bounded
+    assert all(np.isfinite(v) for v in mt.history["train_loss"])
+    assert all(np.isfinite(v) and v < 10.0 for v in mt.history["test_loss"])
+    params = json.loads(open(os.path.join(folder, "parameters.json")).read())
+    assert params["type"] == "ResUNetGAN"
+    assert params["n_critic"] == 2
+    assert os.path.exists(os.path.join(folder, "disc.weights"))
+    assert os.path.exists(os.path.join(folder, "residual.weights"))
+
+    mt2 = load_model(folder)
+    assert isinstance(mt2, ResUNetGAN)
+    # critic round-trips exactly (needed for --continue-training)
+    np.testing.assert_array_equal(
+        np.asarray(mt.params["disc"]["head"]["w"]),
+        np.asarray(mt2.params["disc"]["head"]["w"]),
+    )
+    score = _load(data, "test.nc")
+    mt2.apply(score, ["lowres"], "prediction")
+    assert score["prediction"].shape == (12, 1, 32, 32)
+    score2 = _load(data, "test.nc")
+    mt.apply(score2, ["lowres"], "prediction")
+    np.testing.assert_allclose(
+        np.asarray(score["prediction"].values),
+        np.asarray(score2["prediction"].values),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_cli_res_methods(data, tmp_path):
-    for method, type_name in [("srcnn_res", "SRCNNRes"), ("unet_res", "UNETRes")]:
+    for method, type_name in [
+        ("srcnn_res", "SRCNNRes"),
+        ("unet_res", "UNETRes"),
+        ("resunet_gan", "ResUNetGAN"),
+    ]:
         model_folder = str(tmp_path / f"m_{method}")
         train_cae.main(
             [

@@ -121,11 +121,23 @@ class BaseModel:
             "lr_gamma": getattr(self, "lr_gamma", 0.5),
         }
 
+    def _augment_fn(self):
+        """Paired train-batch augmentation from ``model.augment`` (None=off);
+        fix-forward of the reference's inert transforms (SURVEY §4)."""
+        from ..ops.augment import make_augment
+
+        return make_augment(
+            getattr(self, "augment", None),
+            rotate_degrees=getattr(self, "rotate_degrees", 30.0),
+        )
+
     def _make_trainer(self, loss_fn, config, train_data):
         """Device-resident trainer by default; streaming for huge datasets
         or when ``model.streaming = True``."""
+        from ..ops.augment import wrap_loss_with_augment
         from ..train.stream import data_nbytes, pick_trainer
 
+        loss_fn = wrap_loss_with_augment(loss_fn, self._augment_fn())
         force = "streaming" if getattr(self, "streaming", False) else None
         return pick_trainer(
             loss_fn,

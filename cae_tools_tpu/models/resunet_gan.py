@@ -99,6 +99,7 @@ class ResUNetGAN(UNETRes):
             lambda_adv=self.lambda_adv,
             lambda_gp=self.lambda_gp,
             n_critic=self.n_critic,
+            augment_fn=self._augment_fn(),
         )
 
     # ---- persistence ---------------------------------------------------------

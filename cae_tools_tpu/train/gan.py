@@ -58,6 +58,7 @@ class GANTrainer(Trainer):
         lambda_gp: float = 10.0,
         n_critic: int = 1,
         critic_lr: Optional[float] = None,
+        augment_fn: Optional[Callable] = None,
         mesh=None,
         donate: bool = True,
     ):
@@ -76,6 +77,7 @@ class GANTrainer(Trainer):
         self.lambda_gp = float(lambda_gp)
         self.n_critic = int(n_critic)
         self.critic_lr = critic_lr
+        self.augment_fn = augment_fn
 
     # ------------------------------------------------------------------
     def fit(
@@ -126,6 +128,7 @@ class GANTrainer(Trainer):
         content_loss = self.content_loss
         critic_apply = self.critic_apply
         lam_adv, lam_gp, n_crit = self.lambda_adv, self.lambda_gp, self.n_critic
+        augment_fn = self.augment_fn
         eval_loss_fn = self.loss_fn
 
         def epoch_fn(data):
@@ -143,8 +146,14 @@ class GANTrainer(Trainer):
                     bidx, bw, brng = scan_in
                     batch = {k: v[bidx] for k, v in data.items()}
                     batch["w"] = bw
-                    keys = jax.random.split(brng, 2 + n_crit)
-                    r_fake, r_g, r_gps = keys[0], keys[1], keys[2:]
+                    keys = jax.random.split(brng, 3 + n_crit)
+                    r_aug, r_fake, r_g, r_gps = (
+                        keys[0], keys[1], keys[2], keys[3:],
+                    )
+                    if augment_fn is not None:
+                        # one draw per step: critic and generator see the
+                        # same augmented pair
+                        batch = augment_fn(r_aug, batch)
                     wsum = jnp.maximum(jnp.sum(bw), 1.0)
                     wmean = lambda s: jnp.sum(s * bw) / wsum
 

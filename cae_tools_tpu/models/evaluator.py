@@ -207,6 +207,7 @@ class ModelEvaluator:
                 builder.body().add_fragment(figure_fragment(fig))
                 plt.close(fig)
 
+            case_summary_built = False
             if converter_config:
                 case_output_folder = os.path.join(self.output_html_folder, partition)
                 try:
@@ -222,11 +223,23 @@ class ModelEvaluator:
                         sample_count=self.sample_count,
                     )
                     converter.run()
-                    builder.body().add_element("p").add_element(
-                        "a", {"href": partition + "/index.html"}
-                    ).add_text(f"Case summary for partition {partition}")
+                    case_summary_built = True
                 except Exception:
                     print("Unable to create case summary")
+            if not case_summary_built and self.sample_count != 0:
+                # built-in case browser: the reference depends on the
+                # external netcdf2html package here (model_evaluator.py:
+                # 298-307, soft import that silently skips when absent);
+                # this renders an equivalent per-case page natively
+                try:
+                    self.build_case_browser(partition, ds)
+                    case_summary_built = True
+                except Exception as e:  # report pages must never kill eval
+                    print(f"Unable to create case summary ({e})")
+            if case_summary_built:
+                builder.body().add_element("p").add_element(
+                    "a", {"href": partition + "/index.html"}
+                ).add_text(f"Case summary for partition {partition}")
 
             if not training_parameters and "training_parameters" in ds.attrs:
                 training_parameters = json.loads(ds.attrs["training_parameters"])
@@ -265,6 +278,96 @@ class ModelEvaluator:
             plt.close(fig)
 
         with open(self.output_html_path, "w") as f:
+            f.write(builder.get_html())
+
+    #: hard cap on rendered cases so report size stays bounded even when
+    #: --sample-count is not given
+    CASE_BROWSER_MAX = 64
+
+    def build_case_browser(self, partition, ds):
+        """Write ``<html-folder>/<partition>/index.html``: per case, one row
+        of pixelated panels — each model input, the target, the prediction
+        and the |error| map — on shared per-variable color scales, with the
+        per-case mae/mse in the heading.  Native stand-in for the external
+        ``netcdf2html`` case browser the reference soft-imports."""
+        from ..utils.html import array_png_data_uri
+
+        folder = os.path.join(self.output_html_folder, partition)
+        os.makedirs(folder, exist_ok=True)
+        out_v, pred_v = self.output_variable, self.model_output_variable
+        n = ds[out_v].shape[0]
+        count = n if self.sample_count is None else min(n, self.sample_count)
+        count = min(count, self.CASE_BROWSER_MAX)
+
+        input_vars = self.input_variables or self.model_input_variables or []
+        grid_inputs = [v for v in input_vars if ds[v].values.ndim == 4]
+        scalar_inputs = [v for v in input_vars if ds[v].values.ndim != 4]
+
+        def var_range(name):
+            a = np.asarray(ds[name].values[:count], dtype=np.float64)
+            return float(np.nanmin(a)), float(np.nanmax(a))
+
+        ranges = {v: var_range(v) for v in grid_inputs}
+        t_lo, t_hi = var_range(out_v)
+        p_lo, p_hi = var_range(pred_v)
+        ranges[out_v] = ranges[pred_v] = (min(t_lo, p_lo), max(t_hi, p_hi))
+        err = np.abs(
+            np.asarray(ds[pred_v].values[:count, 0], dtype=np.float64)
+            - np.asarray(ds[out_v].values[:count, 0], dtype=np.float64)
+        )
+        err_hi = float(np.nanmax(err)) if err.size else 1.0
+
+        builder = Html5Builder(language="en")
+        builder.head().add_element("title").add_text(
+            f"Case summary - {partition}"
+        )
+        builder.head().add_element("style").add_text(
+            PIXELATED_IMG_STYLE
+            + "\nfigure { display: inline-block; margin: 4px; text-align: center; }"
+            + "\nfigcaption { font-family: sans-serif; font-size: 12px; }"
+        )
+        builder.body().add_element("h2").add_text(
+            f"Case summary for partition {partition}"
+        )
+        if count < n:
+            builder.body().add_element("p").add_text(
+                f"Showing the first {count} of {n} cases"
+            )
+
+        def panel(row, name, arr2d, lo, hi, cmap="coolwarm"):
+            fig = row.add_element("figure")
+            fig.add_element(
+                "img",
+                {
+                    "src": array_png_data_uri(arr2d, vmin=lo, vmax=hi, cmap=cmap),
+                    "alt": name,
+                    "width": 192,
+                },
+            )
+            fig.add_element("figcaption").add_text(name)
+
+        for idx in range(count):
+            mae = self.compute_measure(ds, idx, "mae")
+            mse = self.compute_measure(ds, idx, "mse")
+            builder.body().add_element("h3").add_text(
+                f"case {idx} (mae={mae:0.4f}, mse={mse:0.4f})"
+            )
+            if scalar_inputs:
+                parts = []
+                for v in scalar_inputs:
+                    val = np.asarray(ds[v].values[idx]).ravel()
+                    parts.append(f"{v}={float(val[0]):0.4g}")
+                builder.body().add_element("p").add_text(", ".join(parts))
+            row = builder.body().add_element("div")
+            for v in grid_inputs:
+                lo, hi = ranges[v]
+                panel(row, v, np.asarray(ds[v].values[idx, 0]), lo, hi)
+            lo, hi = ranges[out_v]
+            panel(row, out_v, np.asarray(ds[out_v].values[idx, 0]), lo, hi)
+            panel(row, pred_v, np.asarray(ds[pred_v].values[idx, 0]), lo, hi)
+            panel(row, "|error|", err[idx], 0.0, err_hi, cmap="magma")
+
+        with open(os.path.join(folder, "index.html"), "w") as f:
             f.write(builder.get_html())
 
     def _converter_config(self, train_ds, test_ds, case_dimension):

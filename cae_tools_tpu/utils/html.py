@@ -119,6 +119,22 @@ class InlineImageFragment(ImageFragment):
         super().__init__(inlined_image_src(path), alt_text, w, h)
 
 
+def array_png_data_uri(arr, vmin=None, vmax=None, cmap="coolwarm") -> str:
+    """Render a 2-D array to an inline base64 PNG data URI (one pixel per
+    cell; CSS pixelated scaling keeps cells crisp in the browser)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.image as mimage
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    buf = io.BytesIO()
+    mimage.imsave(buf, a, vmin=vmin, vmax=vmax, cmap=cmap, format="png")
+    payload = base64.b64encode(buf.getvalue()).decode("ascii")
+    return f"data:image/png;charset=US-ASCII;base64,{payload}"
+
+
 def figure_fragment(fig, w=None) -> ImageFragment:
     """Inline a matplotlib figure as a base64 <img> without touching disk."""
     buf = io.BytesIO()

@@ -78,6 +78,17 @@ def test_cli_cycle(method, data, tmp_path):
     assert "Training Parameters" in html
     assert "data:image/png" in html  # inlined histograms/plots
 
+    # built-in per-partition case browser (native stand-in for the
+    # reference's external netcdf2html soft import)
+    assert "Case summary for partition test" in html
+    for partition in ("train", "test"):
+        case_index = os.path.join(html_folder, partition, "index.html")
+        assert os.path.exists(case_index)
+        case_html = open(case_index).read()
+        assert "case 0" in case_html and "mae=" in case_html
+        assert "data:image/png" in case_html
+        assert "|error|" in case_html
+
     # continue training: history accumulates
     train_cae.main(base_args + ["--continue-training"])
     history = json.loads(open(os.path.join(model_folder, "history.json")).read())
@@ -131,7 +142,9 @@ def test_cli_apply_inconsistent_inputs_rejected(data, tmp_path):
         )
 
 
-def test_cli_unhandled_method_fails_fast(data, tmp_path):
+def test_cli_unknown_method_fails_fast(data, tmp_path):
+    # every --method choice is a real model now (resunet_gan included);
+    # anything outside the choice list is rejected by argparse
     with pytest.raises(SystemExit):
         train_cae.main(
             [
@@ -140,7 +153,7 @@ def test_cli_unhandled_method_fails_fast(data, tmp_path):
                 "--model-folder", str(tmp_path / "m"),
                 "--input-variables", "lowres",
                 "--output-variable", "hires",
-                "--method", "resunet_gan",
+                "--method", "resunet_dcgan",
             ]
         )
 

@@ -13,12 +13,24 @@ baseline.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N, ...}
+
+MEASUREMENT ISOLATION (v5e via the axon tunnel, measured 2026-08-16): the
+moment a *second* distinct executable runs in a process, every subsequent
+dispatch pays a permanent ~5 ms tax (train step: 81.9k img/s fresh ->
+13.1k after one apply graph ran; freeing the other graph's buffers does
+not restore it).  Any metric whose true step time is O(ms) is therefore
+meaningless unless it is the FIRST executable its process ever ran.  This
+driver re-invokes itself (``CAE_BENCH_ONLY=<metric>`` subprocesses) so
+each fast-step metric gets a fresh process; the product is unaffected
+(the compiled trainer dispatches one multi-epoch scan, and apply is one
+``lax.map`` over the whole dataset).
 """
 
 import json
 import os
 import statistics
 import time
+from functools import partial
 
 import numpy as np
 
@@ -114,7 +126,9 @@ def build_jax_convae_train(spec, latent, fc, batch):
         out, ds2 = dec.apply(params["d"], state["d"], z, train=True)
         return jnp.mean((out - y) ** 2), {"e": es2, "d": ds2}
 
-    @jax.jit
+    # donate the carry like the product trainer (train/loop.py run_epochs):
+    # measured +13% on v5e (in-place param/opt updates, no copy traffic)
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, state, opt_state, x, y):
         (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, state, x, y
@@ -164,7 +178,7 @@ def build_jax_unet_train(batch):
         corr = jnp.mean(L.masked_pearson(out, y, mask))
         return mse + (1.0 - corr), {"e": es2, "d": ds2}
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, state, opt_state, rng, x, y):
         (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, state, rng, x, y
@@ -308,70 +322,104 @@ def ips_stats(times, batch):
     return batch / med, spread
 
 
-def main():
+def _spec():
     from cae_tools_tpu.models.sizer import create_model_spec
-    from cae_tools_tpu.ops import convops
 
-    latent, fc, batch = 32, 128, _BATCH
-    # <=64: larger training graphs OOM the remote-compile helper
-    train_batch = min(64, _BATCH)
-    spec = create_model_spec(
+    return create_model_spec(
         input_size=(16, 16), input_channels=1,
         output_size=(256, 256), output_channels=1,
         stride=2, kernel_size=3,
     )
 
-    # ---- apply: fused Pallas decoder tail (the TPU product default;
-    # f32 VPU math => HIGHEST-grade parity) — the headline ------------------
-    convops.set_precision("high")
-    jax_iters = _ITERS
-    forward_k, x_k = build_jax_forward(spec, latent, fc, batch, fused_tail=True)
-    jax_ips = batch * jax_iters / time_jax(forward_k, x_k, jax_iters)
 
-    # ---- apply: pure-XLA HIGH precision (parity-grade fallback path) -------
-    forward, x = build_jax_forward(spec, latent, fc, batch)
-    xla_high_ips = batch * jax_iters / time_jax(forward, x, jax_iters)
+#: fast-step metrics; each runs as the FIRST executable of its own process
+#: (see docstring), as (precision, builder kwargs) apply variants or trains
+_LATENT, _FC = 32, 128
+# <=64: larger training graphs OOM the remote-compile helper (and batch-128
+# HIGH train compiles take ~775s on the tunnel — measured 213k img/s at
+# 0.6 ms/step, dispatch-bound, if you have the budget)
+_TRAIN_BATCH = min(64, _BATCH)
+_UNET_BATCH = min(32, _BATCH)
 
-    # ---- apply: bf16-MXU default-precision fast path ------------------------
-    convops.set_precision("default")
-    forward_f, x_f = build_jax_forward(spec, latent, fc, batch)
-    fast_ips = batch * jax_iters / time_jax(forward_f, x_f, jax_iters)
 
-    # ---- apply: fast path + bf16 parameter storage --------------------------
-    forward_w, x_w = build_jax_forward(
-        spec, latent, fc, batch, bf16_weights=True
+def measure_one(metric: str) -> dict:
+    """Measure a single metric in THIS process (must be called fresh)."""
+    from cae_tools_tpu.ops import convops
+
+    spec = _spec()
+    iters = _ITERS
+    if metric == "train_convae":
+        convops.set_precision("high")
+        step, carry, data = build_jax_convae_train(
+            spec, _LATENT, _FC, _TRAIN_BATCH
+        )
+        ips = _TRAIN_BATCH * iters / time_jax_train(step, carry, data, iters)
+        # UNET train piggy-backs here: its true step is O(50ms), so the
+        # post-second-executable ~5ms dispatch tax is noise for it
+        ustep, ucarry, udata = build_jax_unet_train(_UNET_BATCH)
+        unet_ips = _UNET_BATCH * iters / time_jax_unet_train(
+            ustep, ucarry, udata, iters
+        )
+        return {"train_convae": ips, "train_unet": unet_ips}
+    convops.set_precision("default" if metric.startswith("apply_bf16") else "high")
+    kwargs = {
+        "apply_fused": {"fused_tail": True},
+        "apply_xla_high": {},
+        "apply_bf16": {},
+        "apply_bf16_weights": {"bf16_weights": True},
+    }[metric]
+    forward, x = build_jax_forward(spec, _LATENT, _FC, _BATCH, **kwargs)
+    ips = _BATCH * iters / time_jax(forward, x, iters)
+    return {metric: ips}
+
+
+def _run_subprocess(metric: str) -> dict:
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["CAE_BENCH_ONLY"] = metric
+    out = subprocess.check_output(
+        [sys.executable, os.path.abspath(__file__)], env=env, text=True
     )
-    bf16w_ips = batch * jax_iters / time_jax(forward_w, x_w, jax_iters)
-    convops.set_precision("high")
+    return json.loads(out.strip().splitlines()[-1])
 
-    # ---- train: ConvAE + UNET steady state (HIGH, the training default) ----
-    step, carry, data = build_jax_convae_train(spec, latent, fc, train_batch)
-    train_iters = _ITERS
-    train_ips = train_batch * train_iters / time_jax_train(
-        step, carry, data, train_iters
-    )
-    unet_batch = min(32, _BATCH)
-    ustep, ucarry, udata = build_jax_unet_train(unet_batch)
-    unet_train_ips = unet_batch * train_iters / time_jax_unet_train(
-        ustep, ucarry, udata, train_iters
-    )
+
+def main():
+    only = os.environ.get("CAE_BENCH_ONLY")
+    if only:
+        print(json.dumps(measure_one(only)))
+        return
+
+    rates = {}
+    for metric in (
+        "train_convae",
+        "apply_fused",
+        "apply_xla_high",
+        "apply_bf16",
+        "apply_bf16_weights",
+    ):
+        rates.update(_run_subprocess(metric))
 
     # ---- torch-CPU baselines (fixed iters, variance reported) --------------
+    spec = _spec()
     torch_ips, torch_spread = 0.0, 0.0
     for tb in (32, min(128, _BATCH)):
-        torch_model, xb = build_torch_forward(spec, latent, fc, tb)
+        torch_model, xb = build_torch_forward(spec, _LATENT, _FC, tb)
         rate, spread = ips_stats(time_torch_forward(torch_model, xb, TORCH_ITERS), tb)
         if rate > torch_ips:
             torch_ips, torch_spread = rate, spread
 
     import torch as _torch
 
-    torch_train_model, xb = build_torch_forward(spec, latent, fc, train_batch)
-    yb = _torch.rand((train_batch, 1, 256, 256))
+    torch_train_model, xb = build_torch_forward(spec, _LATENT, _FC, _TRAIN_BATCH)
+    yb = _torch.rand((_TRAIN_BATCH, 1, 256, 256))
     torch_train_ips, torch_train_spread = ips_stats(
-        time_torch_train(torch_train_model, xb, yb, TORCH_ITERS), train_batch
+        time_torch_train(torch_train_model, xb, yb, TORCH_ITERS), _TRAIN_BATCH
     )
 
+    jax_ips = rates["apply_fused"]
+    train_ips = rates["train_convae"]
     result = {
         "metric": "apply_convae_16x16_to_256x256_images_per_sec",
         "value": round(jax_ips, 2),
@@ -379,17 +427,19 @@ def main():
         "vs_baseline": round(jax_ips / torch_ips, 2),
         "baseline_torch_cpu_images_per_sec": round(torch_ips, 2),
         "baseline_torch_cpu_spread": round(torch_spread, 3),
-        "xla_high_images_per_sec": round(xla_high_ips, 2),
-        "bf16_fast_path_images_per_sec": round(fast_ips, 2),
-        "bf16_weights_fast_path_images_per_sec": round(bf16w_ips, 2),
-        "batch": batch,
+        "xla_high_images_per_sec": round(rates["apply_xla_high"], 2),
+        "bf16_fast_path_images_per_sec": round(rates["apply_bf16"], 2),
+        "bf16_weights_fast_path_images_per_sec": round(
+            rates["apply_bf16_weights"], 2
+        ),
+        "batch": _BATCH,
         "train_convae_images_per_sec": round(train_ips, 2),
         "train_convae_torch_cpu_images_per_sec": round(torch_train_ips, 2),
         "train_convae_torch_cpu_spread": round(torch_train_spread, 3),
         "train_convae_vs_torch_cpu": round(train_ips / torch_train_ips, 2),
-        "train_batch": train_batch,
-        "train_unet_images_per_sec": round(unet_train_ips, 2),
-        "train_unet_batch": unet_batch,
+        "train_batch": _TRAIN_BATCH,
+        "train_unet_images_per_sec": round(rates["train_unet"], 2),
+        "train_unet_batch": _UNET_BATCH,
     }
     print(json.dumps(result))
 

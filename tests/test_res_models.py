@@ -127,6 +127,31 @@ def test_resunet_gan_lifecycle(data, tmp_path):
     )
 
 
+def test_resunet_gan_continue_training(data, tmp_path):
+    """--continue-training resumes BOTH players from disc.weights."""
+    folder = str(tmp_path / "gan_ct")
+    args = [
+        "--train-inputs", os.path.join(data, "train.nc"),
+        "--test-inputs", os.path.join(data, "test.nc"),
+        "--model-folder", folder,
+        "--input-variables", "lowres",
+        "--output-variable", "hires",
+        "--nr-epochs", "2",
+        "--batch-size", "6",
+        "--latent-size", "4",
+        "--fc-size", "16",
+        "--method", "resunet_gan",
+    ]
+    train_cae.main(args)
+    disc_before = load_model(folder).params["disc"]["head"]["w"]
+    train_cae.main(args + ["--continue-training"])
+    history = json.loads(open(os.path.join(folder, "history.json")).read())
+    assert history["nr_epochs"] == 4
+    disc_after = load_model(folder).params["disc"]["head"]["w"]
+    # the critic kept training in the second run
+    assert not np.allclose(np.asarray(disc_before), np.asarray(disc_after))
+
+
 def test_cli_res_methods(data, tmp_path):
     for method, type_name in [
         ("srcnn_res", "SRCNNRes"),

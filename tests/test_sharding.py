@@ -109,6 +109,33 @@ def test_model_train_with_mesh(tmp_path_factory):
     assert np.isfinite(mt.history["train_loss"][-1])
 
 
+def test_gan_trainer_on_mesh(tmp_path):
+    """Adversarial training (resunet_gan) DP-sharded over the 8-device
+    mesh: both optimizers step inside the compiled scan with sharded
+    batches and replicated generator+critic params."""
+    from cae_tools_tpu.models import ResUNetGAN
+    from cae_tools_tpu.xrcompat import xr
+
+    rng = np.random.default_rng(13)
+    n = 16
+    hi = 288.0 + rng.random((n, 1, 16, 16)).astype(np.float32) * 5.0
+    lo = hi.reshape(n, 1, 4, 4, 4, 4).mean(axis=(3, 5))
+    ds = xr.Dataset()
+    ds["hires"] = xr.DataArray(hi, dims=("n", "c", "y2", "x2"))
+    ds["lowres"] = xr.DataArray(lo, dims=("n", "c", "y1", "x1"))
+
+    mt = ResUNetGAN(
+        batch_size=8, nr_epochs=4, test_interval=2,
+        encoded_dim_size=4, fc_size=8, lambda_adv=1e-3,
+    )
+    mt.set_mesh(get_mesh(n_data=8, n_model=1))
+    mt.train(["lowres"], "hires", ds, ds, model_path=str(tmp_path / "g"))
+    assert len(mt.history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in mt.history["train_loss"])
+    # both players' params survive the mesh round-trip
+    assert "disc" in mt.params and "encoder" in mt.params
+
+
 def test_cli_devices_flag_dp_train_and_apply(tmp_path_factory):
     """VERDICT round-1 weak #1: multi-chip reachable from the product
     surface — CLI-driven DP train + sharded apply on the 8-device mesh,

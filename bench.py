@@ -193,6 +193,39 @@ def build_jax_unet_train(batch):
     return step, (params, state, opt_state), (x, y)
 
 
+def build_jax_unet_forward(batch):
+    """Eval-mode UNET forward (the production downscaling model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cae_tools_tpu.models.sizer import create_model_spec
+    from cae_tools_tpu.nn import modules as M
+
+    spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(256, 256), output_channels=1,
+    )
+    enc = M.UNetEncoder(spec.input_layers, 32, 128, dropout_rate=0.1)
+    skip_shapes = [tuple(l.get_output_dimensions()) for l in spec.input_layers[:-1]]
+    dec = M.UNetDecoder(
+        spec.output_layers, 32, 128, dropout_rate=0.1,
+        skip_shapes=skip_shapes,
+    )
+    ep, es = enc.init(jax.random.PRNGKey(0))
+    dp, ds = dec.init(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def forward(x):
+        (z, skips), _ = enc.apply(ep, es, x, False)
+        out, _ = dec.apply(dp, ds, z, skips, False)
+        return out
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((batch, 16, 16, 1), dtype=np.float32)
+    )
+    return forward, x
+
+
 def build_torch_forward(spec, latent, fc, batch):
     import torch
     import torch.nn as tnn
@@ -361,6 +394,11 @@ def measure_one(metric: str) -> dict:
             ustep, ucarry, udata, iters
         )
         return {"train_convae": ips, "train_unet": unet_ips}
+    if metric == "apply_unet":
+        convops.set_precision("high")
+        ub = min(128, _BATCH)
+        forward, x = build_jax_unet_forward(ub)
+        return {"apply_unet": ub * iters / time_jax(forward, x, iters)}
     convops.set_precision("default" if metric.startswith("apply_bf16") else "high")
     kwargs = {
         "apply_fused": {"fused_tail": True},
@@ -398,6 +436,7 @@ def main():
         "apply_xla_high",
         "apply_bf16",
         "apply_bf16_weights",
+        "apply_unet",
     ):
         rates.update(_run_subprocess(metric))
 
@@ -440,6 +479,8 @@ def main():
         "train_batch": _TRAIN_BATCH,
         "train_unet_images_per_sec": round(rates["train_unet"], 2),
         "train_unet_batch": _UNET_BATCH,
+        "apply_unet_images_per_sec": round(rates["apply_unet"], 2),
+        "apply_unet_batch": min(128, _BATCH),
     }
     print(json.dumps(result))
 

@@ -117,6 +117,27 @@ def test_wrap_loss_augments_only_training():
     assert wrap_loss_with_augment(loss_fn, None) is loss_fn
 
 
+def test_gan_train_with_augmentation_smoke():
+    """The adversarial trainer augments once per step (critic and
+    generator see the same augmented pair)."""
+    from cae_tools_tpu.models import ResUNetGAN
+    from cae_tools_tpu.xrcompat import xr
+
+    rng = np.random.default_rng(17)
+    n = 8
+    hi = 288.0 + rng.random((n, 1, 16, 16)).astype(np.float32) * 5.0
+    lo = hi.reshape(n, 1, 4, 4, 4, 4).mean(axis=(3, 5))
+    ds = xr.Dataset()
+    ds["hires"] = xr.DataArray(hi, dims=("n", "c", "y2", "x2"))
+    ds["lowres"] = xr.DataArray(lo, dims=("n", "c", "y1", "x1"))
+
+    mt = ResUNetGAN(batch_size=4, nr_epochs=2, test_interval=1,
+                    encoded_dim_size=4, fc_size=8)
+    mt.augment = ["flip"]
+    mt.train(["lowres"], "hires", ds, ds)
+    assert all(np.isfinite(v) for v in mt.history["train_loss"])
+
+
 def test_train_with_augmentation_smoke(tmp_path):
     """ConvAE trains under jit with augmentation traced into the step."""
     from cae_tools_tpu.models import ConvAEModel

@@ -277,28 +277,40 @@ def build_torch_forward(spec, latent, fc, batch):
     return model, xb
 
 
+def _force(out):
+    """Force completion via a host copy of one element.
+
+    ``block_until_ready`` alone is not trusted on this host: the axon
+    plugin's CPU wrapper was observed returning from it before the
+    computation finished (8 x 35 ms forwards "completed" in 0.8 ms).  A
+    scalar device->host read cannot lie."""
+    import jax
+
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.ravel()[0])
+
+
 def time_jax(fn, x, iters):
     import jax
 
     out = fn(x)
-    jax.block_until_ready(out)  # compile + warm
-    jax.block_until_ready(fn(x))
+    _force(out)  # compile + warm
+    _force(fn(x))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(x)
-    jax.block_until_ready(out)
+    _force(out)
     return time.perf_counter() - t0
 
 
 def time_jax_train(step, carry, data, iters):
-    import jax
-
     carry = step(*carry, *data)[:3]  # compile + warm
-    jax.block_until_ready(carry)
+    _force(carry)
     t0 = time.perf_counter()
     for _ in range(iters):
         carry = step(*carry, *data)[:3]
-    jax.block_until_ready(carry)
+    _force(carry)
     return time.perf_counter() - t0
 
 
@@ -307,12 +319,12 @@ def time_jax_unet_train(step, carry, data, iters):
 
     rng = jax.random.PRNGKey(0)
     carry = step(*carry, rng, *data)[:3]
-    jax.block_until_ready(carry)
+    _force(carry)
     t0 = time.perf_counter()
     for i in range(iters):
         rng = jax.random.fold_in(rng, i)
         carry = step(*carry, rng, *data)[:3]
-    jax.block_until_ready(carry)
+    _force(carry)
     return time.perf_counter() - t0
 
 

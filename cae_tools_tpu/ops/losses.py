@@ -35,23 +35,33 @@ def masked_pearson(pred, target, mask):
 
     Returns an (N, C) array.  Formula matches ``unet.py:641-678`` including
     its epsilon placement, so trained-loss trajectories are comparable.
-    """
-    n, h, w, c = pred.shape
-    p = jnp.transpose(pred, (0, 3, 1, 2)).reshape(n, c, h * w)
-    t = jnp.transpose(target, (0, 3, 1, 2)).reshape(n, c, h * w)
-    m = jnp.transpose(
-        jnp.broadcast_to(mask, pred.shape), (0, 3, 1, 2)
-    ).reshape(n, c, h * w)
 
-    msum = jnp.sum(m, axis=2, keepdims=True) + _EPS
-    mean_p = jnp.sum(p * m, axis=2, keepdims=True) / msum
-    mean_t = jnp.sum(t * m, axis=2, keepdims=True) / msum
-    std_p = jnp.sqrt(jnp.sum(m * (p - mean_p) ** 2, axis=2, keepdims=True) / msum + _EPS)
-    std_t = jnp.sqrt(jnp.sum(m * (t - mean_t) ** 2, axis=2, keepdims=True) / msum + _EPS)
-    pn = (p - mean_p) / std_p
-    tn = (t - mean_t) / std_t
-    num = jnp.sum(m * pn * tn, axis=2)
-    den = jnp.sum(m, axis=2)
+    Implemented as native NHWC axis-(1, 2) reductions — NO transpose or
+    reshape.  The original (N, C, H*W) restructuring cost nothing by
+    itself, but when this loss was differentiated *jointly* with the
+    encoder+decoder weight grads, XLA's layout assignment propagated the
+    reshaped layout into the whole conv backward: measured on v5e, the
+    full UNET train step was 112 ms vs ~10 ms with either the transpose
+    removed or the Pearson term dropped (batch 32 at 256x256) — an 11x
+    training-throughput difference from layout alone.
+    """
+    m = jnp.broadcast_to(mask, pred.shape)
+    axes = (1, 2)
+    msum = jnp.sum(m, axis=axes, keepdims=True) + _EPS  # (N, 1, 1, C)
+    mean_p = jnp.sum(pred * m, axis=axes, keepdims=True) / msum
+    mean_t = jnp.sum(target * m, axis=axes, keepdims=True) / msum
+    std_p = jnp.sqrt(
+        jnp.sum(m * (pred - mean_p) ** 2, axis=axes, keepdims=True) / msum
+        + _EPS
+    )
+    std_t = jnp.sqrt(
+        jnp.sum(m * (target - mean_t) ** 2, axis=axes, keepdims=True) / msum
+        + _EPS
+    )
+    pn = (pred - mean_p) / std_p
+    tn = (target - mean_t) / std_t
+    num = jnp.sum(m * pn * tn, axis=axes)  # (N, C)
+    den = jnp.sum(m, axis=axes)
     return num / den
 
 

@@ -104,7 +104,16 @@ def cast_params_bf16(params):
     return jax.tree_util.tree_map(cast, params)
 
 
-def build_jax_convae_train(spec, latent, fc, batch):
+def build_jax_convae_train(spec, latent, fc, batch, k_steps):
+    """K train steps inside one ``lax.scan`` dispatch — the product
+    trainer's shape (train/loop.py run_epochs).
+
+    Per-dispatch step timing is unusable on the tunneled TPU: donated
+    carries cycle the same device buffers, which re-triggers the tunnel's
+    identical-handle memoization (measured 0.5 ms/"step" vs 3.37 ms real),
+    and non-donated loops pay the post-second-executable dispatch tax
+    instead.  Scanning K steps per call amortizes the tax to <2% and makes
+    memoization impossible (the carry and rng differ every call)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -126,24 +135,30 @@ def build_jax_convae_train(spec, latent, fc, batch):
         out, ds2 = dec.apply(params["d"], state["d"], z, train=True)
         return jnp.mean((out - y) ** 2), {"e": es2, "d": ds2}
 
-    # donate the carry like the product trainer (train/loop.py run_epochs):
-    # measured +13% on v5e (in-place param/opt updates, no copy traffic)
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, state, opt_state, x, y):
-        (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, state, x, y
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(carry, rng, x, y):
+        def step_fn(c, r):
+            params, state, opt_state = c
+            (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, state, x, y
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, state, opt_state), loss
+
+        carry, losses = jax.lax.scan(
+            step_fn, carry, jax.random.split(rng, k_steps)
         )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, state, opt_state, loss
+        return carry, losses[-1]
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, 16, 16, 1), dtype=np.float32))
     y = jnp.asarray(rng.random((batch, 256, 256, 1), dtype=np.float32))
-    return step, (params, state, opt_state), (x, y)
+    return run, (params, state, opt_state), (x, y)
 
 
-def build_jax_unet_train(batch):
+def build_jax_unet_train(batch, k_steps):
+    """K UNET train steps per ``lax.scan`` dispatch (see convae twin)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -178,19 +193,26 @@ def build_jax_unet_train(batch):
         corr = jnp.mean(L.masked_pearson(out, y, mask))
         return mse + (1.0 - corr), {"e": es2, "d": ds2}
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, state, opt_state, rng, x, y):
-        (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, state, rng, x, y
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(carry, rng, x, y):
+        def step_fn(c, r):
+            params, state, opt_state = c
+            (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, state, r, x, y
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, state, opt_state), loss
+
+        carry, losses = jax.lax.scan(
+            step_fn, carry, jax.random.split(rng, k_steps)
         )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, state, opt_state, loss
+        return carry, losses[-1]
 
     nprng = np.random.default_rng(0)
     x = jnp.asarray(nprng.random((batch, 16, 16, 1), dtype=np.float32))
     y = jnp.asarray(nprng.random((batch, 256, 256, 1), dtype=np.float32))
-    return step, (params, state, opt_state), (x, y)
+    return run, (params, state, opt_state), (x, y)
 
 
 def build_jax_unet_forward(batch):
@@ -304,28 +326,21 @@ def time_jax(fn, x, iters):
     return time.perf_counter() - t0
 
 
-def time_jax_train(step, carry, data, iters):
-    carry = step(*carry, *data)[:3]  # compile + warm
-    _force(carry)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step(*carry, *data)[:3]
-    _force(carry)
-    return time.perf_counter() - t0
-
-
-def time_jax_unet_train(step, carry, data, iters):
+def time_jax_train_scan(run, carry, data, k_steps, calls=3):
+    """Median seconds per train step from `calls` K-step scan dispatches."""
     import jax
 
     rng = jax.random.PRNGKey(0)
-    carry = step(*carry, rng, *data)[:3]
+    carry, _ = run(carry, rng, *data)  # compile + warm
     _force(carry)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        rng = jax.random.fold_in(rng, i)
-        carry = step(*carry, rng, *data)[:3]
-    _force(carry)
-    return time.perf_counter() - t0
+    times = []
+    for i in range(calls):
+        r = jax.random.fold_in(rng, i + 1)
+        t0 = time.perf_counter()
+        carry, _ = run(carry, r, *data)
+        _force(carry)
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times) / k_steps
 
 
 def time_torch_forward(model, xb, iters):
@@ -385,6 +400,8 @@ _LATENT, _FC = 32, 128
 # 0.6 ms/step, dispatch-bound, if you have the budget)
 _TRAIN_BATCH = min(64, _BATCH)
 _UNET_BATCH = min(32, _BATCH)
+#: steps per timed scan dispatch for the train metrics
+_TRAIN_SCAN_STEPS = int(os.environ.get("CAE_BENCH_SCAN_STEPS", "64"))
 
 
 def measure_one(metric: str) -> dict:
@@ -395,16 +412,15 @@ def measure_one(metric: str) -> dict:
     iters = _ITERS
     if metric == "train_convae":
         convops.set_precision("high")
-        step, carry, data = build_jax_convae_train(
-            spec, _LATENT, _FC, _TRAIN_BATCH
+        k = _TRAIN_SCAN_STEPS
+        run, carry, data = build_jax_convae_train(
+            spec, _LATENT, _FC, _TRAIN_BATCH, k
         )
-        ips = _TRAIN_BATCH * iters / time_jax_train(step, carry, data, iters)
-        # UNET train piggy-backs here: its true step is O(50ms), so the
-        # post-second-executable ~5ms dispatch tax is noise for it
-        ustep, ucarry, udata = build_jax_unet_train(_UNET_BATCH)
-        unet_ips = _UNET_BATCH * iters / time_jax_unet_train(
-            ustep, ucarry, udata, iters
-        )
+        ips = _TRAIN_BATCH / time_jax_train_scan(run, carry, data, k)
+        # UNET train piggy-backs in the same process: scan timing
+        # amortizes the post-second-executable dispatch tax to <2%
+        urun, ucarry, udata = build_jax_unet_train(_UNET_BATCH, k)
+        unet_ips = _UNET_BATCH / time_jax_train_scan(urun, ucarry, udata, k)
         return {"train_convae": ips, "train_unet": unet_ips}
     if metric == "apply_unet":
         convops.set_precision("high")

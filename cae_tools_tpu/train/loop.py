@@ -130,6 +130,10 @@ class Trainer:
         self.mesh = mesh
         self.donate = donate
         self._epoch_of_step = None  # set in fit()
+        #: jitted (run_epochs, eval_loss, tx) per data geometry — reusing
+        #: them across fit() calls (continue-training, HPO trials, the
+        #: UNET double fit) skips the 75-85 s remote recompile per call
+        self._compiled = {}
 
         from ..utils.profiling import ThroughputMeter
 
@@ -186,41 +190,18 @@ class Trainer:
         return {k: jnp.asarray(v) for k, v in data.items()}
 
     # ------------------------------------------------------------------
-    def fit(
-        self,
-        params,
-        state,
-        train_data: dict,
-        test_data: dict,
-        history: dict,
-        log_fn=None,
-        nr_epochs: Optional[int] = None,
-        epoch_offset: int = 0,
-    ):
-        """Run the training loop; returns (params, state, history)."""
+    def _graphs(self, n, steps, n_pad, tn, tsteps, tn_pad):
+        """Jitted train/eval graphs for one data geometry, cached on the
+        instance so repeat fits (continue-training, HPO trials, the UNET
+        double fit) reuse compiled executables instead of re-tracing."""
         cfg = self.config
-        nr_epochs = nr_epochs if nr_epochs is not None else cfg.nr_epochs
-        n, steps, n_pad = self._prep(train_data, cfg.batch_size)
-        tn, tsteps, tn_pad = self._prep(test_data, cfg.batch_size)
-
-        train_data = self._place(train_data)
-        test_data = self._place(test_data)
-        # fresh buffers: the scan carry is donated inside run_epochs, which
-        # would otherwise invalidate the caller's param arrays
-        copy = lambda a: jnp.array(a, copy=True)
-        params = jax.tree_util.tree_map(copy, params)
-        state = jax.tree_util.tree_map(copy, state)
-        if self.mesh is not None:
-            repl = replicated_sharding(self.mesh)
-            params = jax.device_put(params, repl)
-            state = jax.device_put(state, repl)
-
-        schedule_fn = lambda step: self.lr_for_epoch(step // steps)
-        tx = make_optimizer(cfg, schedule_fn)
-        opt_state = tx.init(params)
+        key = (n, steps, n_pad, tn, tsteps, tn_pad, cfg.batch_size)
+        if key in self._compiled:
+            return self._compiled[key]
 
         loss_fn = self.loss_fn
-
+        schedule_fn = lambda step: self.lr_for_epoch(step // steps)
+        tx = make_optimizer(cfg, schedule_fn)
         train_w = batch_weights(n, n_pad, cfg.batch_size, steps)
         test_w = batch_weights(tn, tn_pad, cfg.batch_size, tsteps)
 
@@ -284,6 +265,44 @@ class Trainer:
                 step_fn, None, (test_idx, test_w)
             )
             return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, auxes)
+
+        self._compiled[key] = (tx, run_epochs, eval_loss)
+        return self._compiled[key]
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        params,
+        state,
+        train_data: dict,
+        test_data: dict,
+        history: dict,
+        log_fn=None,
+        nr_epochs: Optional[int] = None,
+        epoch_offset: int = 0,
+    ):
+        """Run the training loop; returns (params, state, history)."""
+        cfg = self.config
+        nr_epochs = nr_epochs if nr_epochs is not None else cfg.nr_epochs
+        n, steps, n_pad = self._prep(train_data, cfg.batch_size)
+        tn, tsteps, tn_pad = self._prep(test_data, cfg.batch_size)
+
+        train_data = self._place(train_data)
+        test_data = self._place(test_data)
+        # fresh buffers: the scan carry is donated inside run_epochs, which
+        # would otherwise invalidate the caller's param arrays
+        copy = lambda a: jnp.array(a, copy=True)
+        params = jax.tree_util.tree_map(copy, params)
+        state = jax.tree_util.tree_map(copy, state)
+        if self.mesh is not None:
+            repl = replicated_sharding(self.mesh)
+            params = jax.device_put(params, repl)
+            state = jax.device_put(state, repl)
+
+        tx, run_epochs, eval_loss = self._graphs(
+            n, steps, n_pad, tn, tsteps, tn_pad
+        )
+        opt_state = tx.init(params)
 
         # ---- host loop: record/print at the reference cadence -----------
         from ..utils.profiling import trace as profile_trace

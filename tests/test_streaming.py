@@ -64,3 +64,41 @@ def test_model_streaming_flag(tmp_path_factory):
     mt.train(["lowres"], "hires", train_ds, test_ds)
     assert len(mt.history["train_loss"]) == 2
     assert np.isfinite(mt.history["train_loss"][-1])
+
+
+def test_trainer_reuses_compiled_graphs_across_fits():
+    """Repeat fits with the same data geometry must not re-trace (the
+    compiled run_epochs/eval_loss live on the Trainer, keyed by geometry) —
+    continue-training and HPO trials depend on this to skip recompiles."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cae_tools_tpu.train.loop import TrainConfig, Trainer
+
+    traces = {"n": 0}
+
+    def loss_fn(params, state, rng, batch, train):
+        traces["n"] += 1  # python side effect: counts tracings only
+        pred = batch["x"] * params["w"]
+        w = batch["w"]
+        loss = jnp.sum((pred - batch["y"]) ** 2 * w[:, None]) / jnp.sum(w)
+        return loss, (state, {"mse": loss})
+
+    rng = np.random.default_rng(0)
+    data = {"x": rng.random((12, 3), dtype=np.float32),
+            "y": rng.random((12, 3), dtype=np.float32)}
+    params = {"w": jnp.ones((3,), jnp.float32)}
+    cfg = TrainConfig(batch_size=4, nr_epochs=4, test_interval=2, lr=0.05)
+    tr = Trainer(loss_fn, cfg)
+    hist = {"train_loss": [], "test_loss": [], "nr_epochs": 0}
+    tr.fit(params, {}, data, data, hist)
+    first = traces["n"]
+    assert first > 0
+    tr.fit(params, {}, data, data, hist)
+    assert traces["n"] == first  # no new tracing on the second fit
+    # a different geometry compiles fresh graphs (new cache entry)
+    data2 = {k: v[:8] for k, v in data.items()}
+    tr.fit(params, {}, data2, data2, hist)
+    assert traces["n"] > first
+    assert len(tr._compiled) == 2

@@ -110,6 +110,72 @@ class GANTrainer(Trainer):
             d_params = jax.device_put(d_params, repl)
             state = jax.device_put(state, repl)
 
+        g_tx, d_tx, run_epochs, eval_loss = self._gan_graphs(
+            n, steps, n_pad, tn, tsteps, tn_pad
+        )
+        g_opt = g_tx.init(g_params)
+        d_opt = d_tx.init(d_params)
+
+        from ..utils.profiling import trace as profile_trace
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        carry = (g_params, state, d_params, g_opt, d_opt)
+        epoch = 0
+        train_loss = test_loss = 0.0
+        profile_ctx = profile_trace()
+        profile_ctx.__enter__()
+        try:
+            while epoch < nr_epochs:
+                chunk = 1 if epoch % cfg.test_interval == 0 else min(
+                    cfg.test_interval - (epoch % cfg.test_interval),
+                    nr_epochs - epoch,
+                )
+                rng, sub = jax.random.split(rng)
+                with self.meter.measure(images=chunk * n, steps=chunk * steps):
+                    carry, (train_loss, train_aux) = run_epochs(
+                        carry, sub, train_data, n_epochs=chunk
+                    )
+                    jax.block_until_ready(carry[0])
+                epoch += chunk
+                e_now = epoch - 1
+                if e_now % cfg.test_interval == 0:
+                    test_loss, test_aux = eval_loss(
+                        carry[0], carry[1], test_data
+                    )
+                    train_loss = float(train_loss)
+                    test_loss = float(test_loss)
+                    history["train_loss"].append(train_loss)
+                    history["test_loss"].append(test_loss)
+                    if log_fn is not None:
+                        log_fn(
+                            epoch_offset + e_now,
+                            train_loss,
+                            test_loss,
+                            jax.tree_util.tree_map(float, train_aux),
+                            jax.tree_util.tree_map(float, test_aux),
+                            float(self.lr_for_epoch(e_now)),
+                        )
+        except KeyboardInterrupt:
+            print("Training interrupted. Performing cleanup...")
+        finally:
+            profile_ctx.__exit__(None, None, None)
+        g_params, state, d_params, _, _ = carry
+        params = dict(g_params)
+        params["disc"] = d_params
+        return params, state, float(train_loss), float(test_loss)
+
+    # ------------------------------------------------------------------
+    def _gan_graphs(self, n, steps, n_pad, tn, tsteps, tn_pad):
+        """Jitted two-player train/eval graphs per data geometry, cached on
+        the instance (same rationale as Trainer._graphs)."""
+        cfg = self.config
+        key = (n, steps, n_pad, tn, tsteps, tn_pad, cfg.batch_size)
+        cache = getattr(self, "_gan_compiled", None)
+        if cache is None:
+            cache = self._gan_compiled = {}
+        if key in cache:
+            return cache[key]
+
         schedule_fn = lambda step: self.lr_for_epoch(step // steps)
         g_tx = make_optimizer(cfg, schedule_fn)
         # WGAN-GP critic optimizer (Gulrajani et al. 2017: Adam b1=0, b2=0.9)
@@ -118,8 +184,6 @@ class GANTrainer(Trainer):
             b1=0.0,
             b2=0.9,
         )
-        g_opt = g_tx.init(g_params)
-        d_opt = d_tx.init(d_params)
 
         train_w = batch_weights(n, n_pad, cfg.batch_size, steps)
         test_w = batch_weights(tn, tn_pad, cfg.batch_size, tsteps)
@@ -251,50 +315,5 @@ class GANTrainer(Trainer):
             _, (losses, auxes) = jax.lax.scan(step_fn, None, (test_idx, test_w))
             return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, auxes)
 
-        from ..utils.profiling import trace as profile_trace
-
-        rng = jax.random.PRNGKey(cfg.seed)
-        carry = (g_params, state, d_params, g_opt, d_opt)
-        epoch = 0
-        train_loss = test_loss = 0.0
-        profile_ctx = profile_trace()
-        profile_ctx.__enter__()
-        try:
-            while epoch < nr_epochs:
-                chunk = 1 if epoch % cfg.test_interval == 0 else min(
-                    cfg.test_interval - (epoch % cfg.test_interval),
-                    nr_epochs - epoch,
-                )
-                rng, sub = jax.random.split(rng)
-                with self.meter.measure(images=chunk * n, steps=chunk * steps):
-                    carry, (train_loss, train_aux) = run_epochs(
-                        carry, sub, train_data, n_epochs=chunk
-                    )
-                    jax.block_until_ready(carry[0])
-                epoch += chunk
-                e_now = epoch - 1
-                if e_now % cfg.test_interval == 0:
-                    test_loss, test_aux = eval_loss(
-                        carry[0], carry[1], test_data
-                    )
-                    train_loss = float(train_loss)
-                    test_loss = float(test_loss)
-                    history["train_loss"].append(train_loss)
-                    history["test_loss"].append(test_loss)
-                    if log_fn is not None:
-                        log_fn(
-                            epoch_offset + e_now,
-                            train_loss,
-                            test_loss,
-                            jax.tree_util.tree_map(float, train_aux),
-                            jax.tree_util.tree_map(float, test_aux),
-                            float(self.lr_for_epoch(e_now)),
-                        )
-        except KeyboardInterrupt:
-            print("Training interrupted. Performing cleanup...")
-        finally:
-            profile_ctx.__exit__(None, None, None)
-        g_params, state, d_params, _, _ = carry
-        params = dict(g_params)
-        params["disc"] = d_params
-        return params, state, float(train_loss), float(test_loss)
+        cache[key] = (g_tx, d_tx, run_epochs, eval_loss)
+        return cache[key]

@@ -46,6 +46,38 @@ class StreamingTrainer(Trainer):
 
     use_global_batch: bool | None = None
 
+    def _stream_graphs(self, steps):
+        """Jitted per-batch step/eval graphs, cached across fit() calls
+        (same rationale as Trainer._graphs: refits must not re-trace)."""
+        cache = getattr(self, "_stream_compiled", None)
+        if cache is None:
+            cache = self._stream_compiled = {}
+        if steps in cache:
+            return cache[steps]
+        cfg = self.config
+        loss_fn = self.loss_fn
+        schedule_fn = lambda step: self.lr_for_epoch(step // steps)
+        tx = make_optimizer(cfg, schedule_fn)
+
+        @jax.jit
+        def train_step(params, state, opt_state, rng, batch):
+            (loss, (new_state, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, state, rng, batch, True)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_state, opt_state, loss, aux
+
+        @jax.jit
+        def eval_step(params, state, batch):
+            loss, (_, aux) = loss_fn(
+                params, state, jax.random.PRNGKey(0), batch, False
+            )
+            return loss, aux
+
+        cache[steps] = (tx, train_step, eval_step)
+        return cache[steps]
+
     def fit(
         self,
         params,
@@ -64,9 +96,6 @@ class StreamingTrainer(Trainer):
         tn = next(iter(test_data.values())).shape[0]
         tsteps = max(1, math.ceil(tn / cfg.batch_size))
 
-        schedule_fn = lambda step: self.lr_for_epoch(step // steps)
-        tx = make_optimizer(cfg, schedule_fn)
-
         copy = lambda a: jnp.array(a, copy=True)
         params = jax.tree_util.tree_map(copy, params)
         state = jax.tree_util.tree_map(copy, state)
@@ -74,25 +103,8 @@ class StreamingTrainer(Trainer):
             repl = replicated_sharding(self.mesh)
             params = jax.device_put(params, repl)
             state = jax.device_put(state, repl)
+        tx, train_step, eval_step = self._stream_graphs(steps)
         opt_state = tx.init(params)
-
-        loss_fn = self.loss_fn
-
-        @jax.jit
-        def train_step(params, state, opt_state, rng, batch):
-            (loss, (new_state, aux)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, state, rng, batch, True)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, new_state, opt_state, loss, aux
-
-        @jax.jit
-        def eval_step(params, state, batch):
-            loss, (_, aux) = loss_fn(
-                params, state, jax.random.PRNGKey(0), batch, False
-            )
-            return loss, aux
 
         multihost = self.use_global_batch
         if multihost is None:

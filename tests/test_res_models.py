@@ -152,6 +152,35 @@ def test_resunet_gan_continue_training(data, tmp_path):
     assert not np.allclose(np.asarray(disc_before), np.asarray(disc_after))
 
 
+def test_resunet_gan_evaluator_dispatch(data, tmp_path):
+    """ModelEvaluator loads a ResUNetGAN folder via the type registry and
+    renders the full report incl. the case browser."""
+    from cae_tools_tpu.models.evaluator import ModelEvaluator
+
+    train_ds = _load(data, "train.nc")
+    test_ds = _load(data, "test.nc")
+    folder = str(tmp_path / "gan_eval")
+    mt = ResUNetGAN(batch_size=6, nr_epochs=2, test_interval=1,
+                    encoded_dim_size=4, fc_size=16)
+    mt.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+
+    html_folder = str(tmp_path / "html")
+    ev = ModelEvaluator(
+        training_paths=[os.path.join(data, "train.nc")],
+        testing_paths=[os.path.join(data, "test.nc")],
+        output_html_folder=html_folder,
+        model_output_variable="model_output",
+        model_path=folder,
+        sample_count=3,
+    )
+    assert isinstance(ev.model, ResUNetGAN)
+    ev.run()
+    html = open(os.path.join(html_folder, "index.html")).read()
+    assert "Model Metrics" in html
+    case_html = open(os.path.join(html_folder, "test", "index.html")).read()
+    assert "case 2" in case_html and "case 3" not in case_html  # sample_count
+
+
 def test_cli_res_methods(data, tmp_path):
     for method, type_name in [
         ("srcnn_res", "SRCNNRes"),

@@ -67,9 +67,10 @@ def build_parser():
     parser.add_argument("--chunk-size", type=int, help="chunk size for xarray (accepted for reference flag parity; inert — data is materialised host-side)", default=1000)
     parser.add_argument("--include-coasts", help="include coastal areas (accepted for reference flag parity; inert upstream too)", default=False)
     parser.add_argument("--mask-variable", type=str, help="name of the mask variable", default=None)
-    parser.add_argument("--augment", nargs="+", choices=["flip", "hflip", "vflip", "rotate"], default=None,
+    parser.add_argument("--augment", nargs="+", choices=["flip", "hflip", "vflip", "rotate", "crop"], default=None,
                         help="paired train-batch augmentation (the reference defines these transforms but never applies them; here they run inside the compiled train step)")
     parser.add_argument("--rotate-degrees", type=float, default=30.0, help="max rotation angle for --augment rotate")
+    parser.add_argument("--crop-scale-min", type=float, default=0.6, help="minimum crop fraction for --augment crop")
     parser.add_argument("--precision", choices=["highest", "high", "default"], default="high",
                         help="conv/matmul precision: high (default) keeps <=1e-5 reference parity at 1.66x the speed of highest; default=1-pass bf16 fast path")
     add_devices_flag(parser)
@@ -252,6 +253,7 @@ def main(argv=None):
     if args.augment:
         mt.augment = args.augment
         mt.rotate_degrees = args.rotate_degrees
+        mt.crop_scale = (args.crop_scale_min, 1.0)
 
     start_time = time.time()
     print("Ready for training process")

@@ -129,6 +129,7 @@ class BaseModel:
         return make_augment(
             getattr(self, "augment", None),
             rotate_degrees=getattr(self, "rotate_degrees", 30.0),
+            crop_scale=getattr(self, "crop_scale", (0.6, 1.0)),
         )
 
     def _make_trainer(self, loss_fn, config, train_data):

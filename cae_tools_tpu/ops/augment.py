@@ -35,7 +35,7 @@ import jax.numpy as jnp
 #: batch keys transformed by augmentation (per-sample weights "w" are not)
 _IMAGE_KEYS = ("x", "y", "m")
 
-_KINDS = ("flip", "hflip", "vflip", "rotate")
+_KINDS = ("flip", "hflip", "vflip", "rotate", "crop")
 
 
 def _rotate_bilinear(img, angle):
@@ -62,6 +62,36 @@ def _rotate_bilinear(img, angle):
     )
 
 
+def _crop_resize(img, scale, cy_frac, cx_frac):
+    """Sample a ``scale``-sized crop centered at the fractional position
+    (cy_frac, cx_frac) and resize it back to the full (H, W) grid,
+    bilinear.  Working in *relative* coordinates is what keeps the pair
+    aligned: the same (scale, center) draw selects the same physical
+    region on the low-res input grid and the high-res target grid."""
+    h, w, _ = img.shape
+    span_y = scale * (h - 1)
+    span_x = scale * (w - 1)
+    # clamp the center so the crop stays inside the image
+    cy = jnp.clip(cy_frac * (h - 1), span_y / 2, (h - 1) - span_y / 2)
+    cx = jnp.clip(cx_frac * (w - 1), span_x / 2, (w - 1) - span_x / 2)
+    ys = cy - span_y / 2 + jnp.arange(h, dtype=jnp.float32) * (
+        span_y / jnp.maximum(h - 1, 1)
+    )
+    xs = cx - span_x / 2 + jnp.arange(w, dtype=jnp.float32) * (
+        span_x / jnp.maximum(w - 1, 1)
+    )
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+
+    def per_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, [yy, xx], order=1, mode="nearest"
+        )
+
+    return jnp.moveaxis(
+        jax.vmap(per_channel)(jnp.moveaxis(img, -1, 0)), 0, -1
+    )
+
+
 def _flip_where(flag, a, axis):
     return jnp.where(
         flag[:, None, None, None].astype(bool), jnp.flip(a, axis=axis), a
@@ -69,13 +99,20 @@ def _flip_where(flag, a, axis):
 
 
 def make_augment(
-    kinds: Optional[Sequence[str]], rotate_degrees: float = 30.0
+    kinds: Optional[Sequence[str]],
+    rotate_degrees: float = 30.0,
+    crop_scale: tuple = (0.6, 1.0),
 ):
     """Build ``augment_fn(rng, batch) -> batch`` or None when disabled.
 
     ``kinds``: any of ``"flip"`` (= hflip + vflip), ``"hflip"``, ``"vflip"``,
     ``"rotate"`` (uniform angle in ±``rotate_degrees``, the torchvision
-    RandomRotation(30) the reference configured).
+    RandomRotation(30) the reference configured) and ``"crop"`` (paired
+    random-resized-crop: the reference's RandomResizedCrop(100) would have
+    resized to a fixed 100x100 and broken both the pairing and the solved
+    geometry; here a random ``crop_scale``-fraction region at a random
+    center is taken from the SAME relative coordinates of input, target
+    and mask, then resized back to each grid's own size).
     """
     if not kinds:
         return None
@@ -90,11 +127,13 @@ def make_augment(
     hflip = "flip" in kinds or "hflip" in kinds
     vflip = "flip" in kinds or "vflip" in kinds
     rotate = "rotate" in kinds
+    crop = "crop" in kinds
     max_rad = math.radians(rotate_degrees)
+    s_lo, s_hi = crop_scale
 
     def augment_fn(rng, batch):
         n = batch[_IMAGE_KEYS[0]].shape[0]
-        r_h, r_v, r_a = jax.random.split(rng, 3)
+        r_h, r_v, r_a, r_s, r_c = jax.random.split(rng, 5)
         out = dict(batch)
         if hflip:
             flags = jax.random.bernoulli(r_h, 0.5, (n,))
@@ -113,6 +152,14 @@ def make_augment(
             for k in _IMAGE_KEYS:
                 if k in out:
                     out[k] = jax.vmap(_rotate_bilinear)(out[k], angles)
+        if crop:
+            scales = jax.random.uniform(r_s, (n,), minval=s_lo, maxval=s_hi)
+            centers = jax.random.uniform(r_c, (n, 2))
+            for k in _IMAGE_KEYS:
+                if k in out:
+                    out[k] = jax.vmap(_crop_resize)(
+                        out[k], scales, centers[:, 0], centers[:, 1]
+                    )
         return out
 
     return augment_fn

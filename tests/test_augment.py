@@ -98,6 +98,50 @@ def test_rotate_mask_drops_fill_regions():
     assert float(rot[4, 4, 0]) == pytest.approx(1.0)
 
 
+def test_crop_identity_at_full_scale():
+    batch = _batch(n=3, seed=6)
+    out = make_augment(["crop"], crop_scale=(1.0, 1.0))(
+        jax.random.PRNGKey(0), batch
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["y"]), np.asarray(batch["y"]), atol=1e-6
+    )
+
+
+def test_crop_is_paired_in_relative_coordinates():
+    """Identical arrays under the same draw must produce identical crops —
+    the pairing guarantee that torchvision's independent RandomResizedCrop
+    would have broken."""
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.random((4, 12, 12, 1), dtype=np.float32))
+    batch = {"x": a, "y": a, "w": jnp.ones((4,), jnp.float32)}
+    out = make_augment(["crop"], crop_scale=(0.5, 0.9))(
+        jax.random.PRNGKey(2), batch
+    )
+    np.testing.assert_array_equal(np.asarray(out["x"]), np.asarray(out["y"]))
+    # and it actually cropped (zoomed) something
+    assert not np.allclose(np.asarray(out["x"]), np.asarray(a))
+    # values stay within the original range (bilinear, in-bounds sampling)
+    assert float(out["x"].min()) >= float(a.min()) - 1e-6
+    assert float(out["x"].max()) <= float(a.max()) + 1e-6
+
+
+def test_crop_zooms_center_region():
+    from cae_tools_tpu.ops.augment import _crop_resize
+
+    # image with a bright center: a 0.5-scale center crop keeps the
+    # bright region and magnifies it
+    img = np.zeros((16, 16, 1), np.float32)
+    img[6:10, 6:10, 0] = 1.0
+    out = _crop_resize(
+        jnp.asarray(img),
+        jnp.asarray(0.5, jnp.float32),
+        jnp.asarray(0.5, jnp.float32),
+        jnp.asarray(0.5, jnp.float32),
+    )
+    assert float(jnp.mean(out)) > float(np.mean(img)) * 2  # magnified
+
+
 def test_wrap_loss_augments_only_training():
     batch = _batch(n=4, seed=5)
     seen = {}

@@ -23,6 +23,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import json
+import math
 import random
 import re
 import subprocess
@@ -49,6 +50,17 @@ def default_search_space():
         "output_layer_count": ("fixed", None),
         "method": ("fixed", "unet"),
     }
+
+
+def gan_search_space():
+    """Search space for the adversarial method: the 13 reference knobs
+    plus the WGAN-GP weights (additive — no reference equivalent)."""
+    space = default_search_space()
+    space["method"] = ("fixed", "resunet_gan")
+    space["lambda_adv"] = ("loguniform", 1e-4, 1e-2)
+    space["lambda_gp"] = ("uniform", 1.0, 30.0)
+    space["n_critic"] = ("int", 1, 3)
+    return space
 
 
 class _RandomTrial:
@@ -233,6 +245,13 @@ class HyperOptimizer:
                 {"trial": number, "params": params, "error": str(e)}
             )
             raise TrialPruned(str(e))
+        if not math.isfinite(test_mse):
+            # a diverged run (e.g. an unstable adversarial configuration)
+            # must not poison best-value tracking with NaN comparisons
+            self._log(
+                {"trial": number, "params": params, "error": "non-finite test loss"}
+            )
+            raise TrialPruned("non-finite test loss")
         elapsed = time.time() - start
         self._log(
             {
@@ -267,6 +286,13 @@ class HyperOptimizer:
             args += ["--input-layer-count", str(params["input_layer_count"])]
         if params.get("output_layer_count"):
             args += ["--output-layer-count", str(params["output_layer_count"])]
+        for knob, flag in (
+            ("lambda_adv", "--lambda-adv"),
+            ("lambda_gp", "--lambda-gp"),
+            ("n_critic", "--n-critic"),
+        ):
+            if knob in params:
+                args += [flag, str(params[knob])]
         return args
 
     def _run_subprocess(self, params, model_folder) -> float:

@@ -1,7 +1,8 @@
 """Jittable paired data augmentation.
 
 The reference *defines* torchvision train transforms — RandomHorizontalFlip,
-RandomVerticalFlip, RandomRotation(30, fill) — but never applies them:
+RandomVerticalFlip, RandomRotation(30, fill), RandomResizedCrop — but never
+applies them:
 ``dataset.transform`` is assigned (``unet.py:425-431``,
 ``conv_ae_model.py:280-289``) and ``DSDataset.__getitem__`` ignores it
 (SURVEY.md §4 quirks).  They would also have broken the paired

@@ -62,7 +62,10 @@ def masked_pearson(pred, target, mask):
     tn = (target - mean_t) / std_t
     num = jnp.sum(m * pn * tn, axis=axes)  # (N, C)
     den = jnp.sum(m, axis=axes)
-    return num / den
+    # empty-mask rows (e.g. zero-weight batch padding) are 0/0 — return a
+    # neutral 0 instead of NaN, which would poison the weighted batch mean
+    # (0 * NaN = NaN) for every non-batch-divisible dataset
+    return jnp.where(den > 0, num / jnp.maximum(den, _EPS), 0.0)
 
 
 def pearson_loss(pred, target, mask):

@@ -271,3 +271,24 @@ def test_unet_with_extra_additional_losses(tmp_path_factory, loss_kind):
     mt.lambda_additional = 0.1
     mt.train(["lowres"], "hires", train_ds, test_ds)
     assert np.isfinite(mt.history["train_loss"][-1])
+
+
+def test_masked_pearson_empty_mask_rows_are_zero_not_nan():
+    """Zero-weight (padded) rows must yield 0, not 0/0=NaN — NaN here
+    poisoned the whole UNET-family weighted loss for every dataset whose
+    size is not batch-divisible (0 * NaN = NaN in the batch mean)."""
+    import jax.numpy as jnp
+
+    from cae_tools_tpu.ops import losses as L
+
+    rng = np.random.default_rng(3)
+    pred = jnp.asarray(rng.random((3, 6, 6, 2), dtype=np.float32))
+    targ = jnp.asarray(rng.random((3, 6, 6, 2), dtype=np.float32))
+    mask = jnp.ones((3, 6, 6, 1), jnp.float32)
+    mask = mask.at[2].set(0.0)  # padded row
+    corr = L.masked_pearson(pred, targ, mask)
+    assert np.isfinite(np.asarray(corr)).all()
+    np.testing.assert_array_equal(np.asarray(corr[2]), np.zeros((2,)))
+    # real rows unchanged vs an all-ones mask
+    full = L.masked_pearson(pred[:2], targ[:2], mask[:2])
+    np.testing.assert_allclose(np.asarray(corr[:2]), np.asarray(full), atol=1e-6)

@@ -278,3 +278,58 @@ def test_hpo_subprocess_mode(data, tmp_path):
     best_params, best_value, results = opt.run(n_trials=1)
     assert best_value is not None and np.isfinite(best_value)
     assert os.path.exists(str(tmp_path / "trials" / "trial_0" / "parameters.json"))
+
+
+def test_hpo_gan_space(tmp_path):
+    """The adversarial search space reaches the GAN knobs end-to-end (the
+    trial's lambda_adv/lambda_gp/n_critic land in the trained model)."""
+    import numpy as np
+
+    from cae_tools_tpu.hpo.optim import gan_search_space
+    from cae_tools_tpu.models import load_model
+    from cae_tools_tpu.xrcompat import xr
+
+    # small 8x8 -> 32x32 pair: GAN trials at the fixture's 256^2 are too
+    # slow for the CPU test host
+    data = str(tmp_path / "gandata")
+    os.makedirs(data)
+    rng = np.random.default_rng(23)
+    for name in ("train.nc", "test.nc"):
+        hi = 288.0 + rng.random((10, 1, 32, 32)).astype(np.float32) * 5.0
+        lo = hi.reshape(10, 1, 8, 4, 8, 4).mean(axis=(3, 5))
+        ds = xr.Dataset()
+        ds["hires"] = xr.DataArray(hi, dims=("n", "chan", "y2", "x2"))
+        ds["lowres"] = xr.DataArray(lo, dims=("n", "chan", "y1", "x1"))
+        ds.to_netcdf(os.path.join(data, name))
+
+    space = gan_search_space()
+    space.update({
+        "nr_epochs": ("fixed", 2),
+        "batch_size": ("fixed", 6),
+        "latent_size": ("fixed", 4),
+        "fc_size": ("fixed", 16),
+        "kernel_size": ("fixed", 3),
+        "stride": ("fixed", 2),
+        "dropout_rate": ("fixed", 0.1),
+        "learning_rate": ("fixed", 1e-3),
+        "weight_decay": ("fixed", 1e-5),
+        "lambda_pearson": ("fixed", 1.0),
+        "lambda_gp": ("fixed", 10.0),
+        "n_critic": ("fixed", 1),
+    })
+    opt = HyperOptimizer(
+        train_inputs=[os.path.join(data, "train.nc")],
+        test_inputs=[os.path.join(data, "test.nc")],
+        input_variables=["lowres"],
+        output_variable="hires",
+        work_folder=str(tmp_path / "trials"),
+        search_space=space,
+        seed=5,
+    )
+    best_params, best_value, results = opt.run(n_trials=1)
+    assert best_value is not None
+    assert 1e-4 <= best_params["lambda_adv"] <= 1e-2
+    mt = load_model(str(tmp_path / "trials" / "trial_0"))
+    assert mt.MODEL_TYPE == "ResUNetGAN"
+    assert abs(mt.lambda_adv - best_params["lambda_adv"]) < 1e-12
+    assert abs(mt.lambda_gp - best_params["lambda_gp"]) < 1e-12

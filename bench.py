@@ -395,9 +395,10 @@ def _spec():
 #: fast-step metrics; each runs as the FIRST executable of its own process
 #: (see docstring), as (precision, builder kwargs) apply variants or trains
 _LATENT, _FC = 32, 128
-# <=64: larger training graphs OOM the remote-compile helper (and batch-128
-# HIGH train compiles take ~775s on the tunnel — measured 213k img/s at
-# 0.6 ms/step, dispatch-bound, if you have the budget)
+# <=64: larger training graphs OOM the remote-compile helper, and the
+# batch-128 HIGH train graph takes ~775s to remote-compile (its earlier
+# "213k img/s" per-step reading was a donation-memoization artifact and is
+# retracted — see BASELINE.md)
 _TRAIN_BATCH = min(64, _BATCH)
 _UNET_BATCH = min(32, _BATCH)
 #: steps per timed scan dispatch for the train metrics

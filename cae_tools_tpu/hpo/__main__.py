@@ -51,8 +51,13 @@ def main(argv=None):
         else:
             seed_trials.append(json.loads(item))
 
-    space = default_search_space()
-    space["method"] = ("fixed", args.method)
+    if args.method == "resunet_gan":
+        from .optim import gan_search_space
+
+        space = gan_search_space()  # adds lambda_adv/lambda_gp/n_critic
+    else:
+        space = default_search_space()
+        space["method"] = ("fixed", args.method)
     space["nr_epochs"] = ("fixed", args.nr_epochs)
 
     opt = HyperOptimizer(

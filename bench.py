@@ -11,8 +11,11 @@ step, the reference hot loop at ``conv_ae_model.py:328-341`` /
 ``unet.py:295-337``) for ConvAE and UNET, with a torch-CPU ConvAE train
 baseline.
 
-Prints ONE JSON line:
+Prints a JSON result line:
     {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N, ...}
+A fresh, strictly-richer line is re-emitted after every completed stage,
+so whichever line a harness parses (first or last) is a valid record even
+if the process is killed mid-run.
 
 MEASUREMENT ISOLATION (v5e via the axon tunnel, measured 2026-08-16): the
 moment a *second* distinct executable runs in a process, every subsequent
@@ -24,6 +27,20 @@ driver re-invokes itself (``CAE_BENCH_ONLY=<metric>`` subprocesses) so
 each fast-step metric gets a fresh process; the product is unaffected
 (the compiled trainer dispatches one multi-epoch scan, and apply is one
 ``lax.map`` over the whole dataset).
+
+BUDGET + STALL TOLERANCE (round 3): the tunnel exhibits transient
+multi-minute stalls (the same cached 3x3-conv graph ran in 5.5 s, 15 s,
+then hung >300 s within one hour) and 100-300+ s cold remote compiles —
+this is what timed round 2's bench out (BENCH_r02 rc=124, nothing
+printed).  Counters here: (a) torch-CPU baselines run FIRST (no tunnel);
+(b) every subprocess gets its own wall-clock slice and is killed (not
+waited on) when it exceeds it, its partial output still harvested;
+(c) the headline metric runs before everything else and the JSON line is
+emitted as soon as it exists; (d) a persistent XLA compilation cache
+(.jax_cache/, survives across processes AND driver rounds) amortizes the
+remote compiles; (e) a total budget (CAE_BENCH_BUDGET_S, default 900 s)
+gates each further metric, and whatever was measured is reported with
+the rest listed in "skipped".
 """
 
 import json
@@ -38,6 +55,17 @@ TORCH_ITERS = 20  # hardened baseline: fixed iteration count, variance reported
 # smoke-test overrides (CPU CI); the driver runs defaults on TPU
 _BATCH = int(os.environ.get("CAE_BENCH_BATCH", "512"))
 _ITERS = int(os.environ.get("CAE_BENCH_ITERS", "20"))
+#: total wall-clock budget; stay well inside the driver's ~20 min timeout
+_BUDGET_S = float(os.environ.get("CAE_BENCH_BUDGET_S", "900"))
+#: per-subprocess slice caps (headline gets more; it is also retried once)
+_HEADLINE_CAP_S = float(os.environ.get("CAE_BENCH_HEADLINE_CAP_S", "420"))
+_METRIC_CAP_S = float(os.environ.get("CAE_BENCH_METRIC_CAP_S", "300"))
+
+
+def _enable_cache():
+    from cae_tools_tpu.utils.compile_cache import enable_compile_cache
+
+    return enable_compile_cache()
 
 
 def build_jax_forward(spec, latent, fc, batch, fused_tail=False,
@@ -406,7 +434,12 @@ _TRAIN_SCAN_STEPS = int(os.environ.get("CAE_BENCH_SCAN_STEPS", "64"))
 
 
 def measure_one(metric: str) -> dict:
-    """Measure a single metric in THIS process (must be called fresh)."""
+    """Measure a single metric in THIS process (must be called fresh).
+
+    Emits an incremental JSON line after each sub-metric so the parent
+    can harvest partial results even if it kills this process mid-run
+    (tunnel stall tolerance)."""
+    _enable_cache()
     from cae_tools_tpu.ops import convops
 
     spec = _spec()
@@ -418,11 +451,15 @@ def measure_one(metric: str) -> dict:
             spec, _LATENT, _FC, _TRAIN_BATCH, k
         )
         ips = _TRAIN_BATCH / time_jax_train_scan(run, carry, data, k)
-        # UNET train piggy-backs in the same process: scan timing
-        # amortizes the post-second-executable dispatch tax to <2%
+        return {"train_convae": ips}
+    if metric == "train_unet":
+        # own process (scan timing amortizes any dispatch tax to <2%, and a
+        # stalled UNET compile must not take the ConvAE number down with it)
+        convops.set_precision("high")
+        k = _TRAIN_SCAN_STEPS
         urun, ucarry, udata = build_jax_unet_train(_UNET_BATCH, k)
         unet_ips = _UNET_BATCH / time_jax_train_scan(urun, ucarry, udata, k)
-        return {"train_convae": ips, "train_unet": unet_ips}
+        return {"train_unet": unet_ips}
     if metric == "apply_unet":
         convops.set_precision("high")
         ub = min(128, _BATCH)
@@ -440,36 +477,113 @@ def measure_one(metric: str) -> dict:
     return {metric: ips}
 
 
-def _run_subprocess(metric: str) -> dict:
+def _run_subprocess(metric: str, timeout_s: float) -> dict:
+    """Run one metric in a fresh process with a hard wall-clock slice.
+
+    On timeout the child is killed and any JSON lines it already printed
+    are harvested (the train child prints incrementally), so a stalled
+    second sub-metric cannot take down an already-measured first one."""
     import subprocess
     import sys
 
     env = dict(os.environ)
     env["CAE_BENCH_ONLY"] = metric
-    out = subprocess.check_output(
-        [sys.executable, os.path.abspath(__file__)], env=env, text=True
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
     )
-    return json.loads(out.strip().splitlines()[-1])
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        print(f"# bench: {metric} exceeded {timeout_s:.0f}s slice, killed",
+              file=sys.stderr, flush=True)
+    rates = {}
+    for line in (out or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rates.update(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    return rates
+
+
+#: metrics in priority order; the first is the headline
+_METRICS = (
+    "apply_fused",
+    "train_convae",
+    "apply_xla_high",
+    "apply_unet",
+    "train_unet",
+    "apply_bf16",
+    "apply_bf16_weights",
+)
+_ALL_KEYS = ("apply_fused", "train_convae", "train_unet", "apply_unet",
+             "apply_xla_high", "apply_bf16", "apply_bf16_weights")
+
+
+def _build_result(rates, torch_stats, elapsed_s):
+    """Full result dict from whatever has been measured so far.
+
+    Every emitted line is a complete, parseable record: headline falls
+    back to the best available apply rate; unmeasured metrics are listed
+    under "skipped" instead of being absent-but-implied."""
+    torch_ips, torch_spread, torch_train_ips, torch_train_spread = torch_stats
+    headline = rates.get("apply_fused") or rates.get("apply_xla_high") or 0.0
+    result = {
+        "metric": "apply_convae_16x16_to_256x256_images_per_sec",
+        "value": round(headline, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(headline / torch_ips, 2) if torch_ips else 0.0,
+        "headline_path": ("fused_pallas_tail" if rates.get("apply_fused")
+                          else "xla_high" if rates.get("apply_xla_high")
+                          else "none"),
+        "baseline_torch_cpu_images_per_sec": round(torch_ips, 2),
+        "baseline_torch_cpu_spread": round(torch_spread, 3),
+        "batch": _BATCH,
+        "train_batch": _TRAIN_BATCH,
+        "train_unet_batch": _UNET_BATCH,
+        "apply_unet_batch": min(128, _BATCH),
+        "train_convae_torch_cpu_images_per_sec": round(torch_train_ips, 2),
+        "train_convae_torch_cpu_spread": round(torch_train_spread, 3),
+        "elapsed_s": round(elapsed_s, 1),
+        "skipped": [k for k in _ALL_KEYS if k not in rates],
+    }
+    names = {
+        "apply_xla_high": "xla_high_images_per_sec",
+        "apply_bf16": "bf16_fast_path_images_per_sec",
+        "apply_bf16_weights": "bf16_weights_fast_path_images_per_sec",
+        "train_convae": "train_convae_images_per_sec",
+        "train_unet": "train_unet_images_per_sec",
+        "apply_unet": "apply_unet_images_per_sec",
+    }
+    for key, name in names.items():
+        if key in rates:
+            result[name] = round(rates[key], 2)
+    if "train_convae" in rates and torch_train_ips:
+        result["train_convae_vs_torch_cpu"] = round(
+            rates["train_convae"] / torch_train_ips, 2
+        )
+    return result
 
 
 def main():
     only = os.environ.get("CAE_BENCH_ONLY")
     if only:
-        print(json.dumps(measure_one(only)))
+        print(json.dumps(measure_one(only)), flush=True)
         return
 
-    rates = {}
-    for metric in (
-        "train_convae",
-        "apply_fused",
-        "apply_xla_high",
-        "apply_bf16",
-        "apply_bf16_weights",
-        "apply_unet",
-    ):
-        rates.update(_run_subprocess(metric))
+    t0 = time.monotonic()
 
-    # ---- torch-CPU baselines (fixed iters, variance reported) --------------
+    def remaining():
+        return _BUDGET_S - (time.monotonic() - t0)
+
+    _enable_cache()  # config only; the parent never compiles
+
+    # ---- torch-CPU baselines FIRST: no tunnel involvement, ~1 min ----------
     spec = _spec()
     torch_ips, torch_spread = 0.0, 0.0
     for tb in (32, min(128, _BATCH)):
@@ -485,33 +599,28 @@ def main():
     torch_train_ips, torch_train_spread = ips_stats(
         time_torch_train(torch_train_model, xb, yb, TORCH_ITERS), _TRAIN_BATCH
     )
+    torch_stats = (torch_ips, torch_spread, torch_train_ips, torch_train_spread)
 
-    jax_ips = rates["apply_fused"]
-    train_ips = rates["train_convae"]
-    result = {
-        "metric": "apply_convae_16x16_to_256x256_images_per_sec",
-        "value": round(jax_ips, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(jax_ips / torch_ips, 2),
-        "baseline_torch_cpu_images_per_sec": round(torch_ips, 2),
-        "baseline_torch_cpu_spread": round(torch_spread, 3),
-        "xla_high_images_per_sec": round(rates["apply_xla_high"], 2),
-        "bf16_fast_path_images_per_sec": round(rates["apply_bf16"], 2),
-        "bf16_weights_fast_path_images_per_sec": round(
-            rates["apply_bf16_weights"], 2
-        ),
-        "batch": _BATCH,
-        "train_convae_images_per_sec": round(train_ips, 2),
-        "train_convae_torch_cpu_images_per_sec": round(torch_train_ips, 2),
-        "train_convae_torch_cpu_spread": round(torch_train_spread, 3),
-        "train_convae_vs_torch_cpu": round(train_ips / torch_train_ips, 2),
-        "train_batch": _TRAIN_BATCH,
-        "train_unet_images_per_sec": round(rates["train_unet"], 2),
-        "train_unet_batch": _UNET_BATCH,
-        "apply_unet_images_per_sec": round(rates["apply_unet"], 2),
-        "apply_unet_batch": min(128, _BATCH),
-    }
-    print(json.dumps(result))
+    # ---- TPU metrics, headline first, budget-gated, emit-as-you-go ---------
+    rates = {}
+    for i, metric in enumerate(_METRICS):
+        cap = _HEADLINE_CAP_S if i == 0 else _METRIC_CAP_S
+        attempts = 2 if i == 0 else 1  # tunnel stalls are transient: retry headline
+        for _ in range(attempts):
+            if remaining() < 90:
+                break
+            got = _run_subprocess(metric, min(cap, max(60.0, remaining() - 20)))
+            rates.update(got)
+            if got:
+                break
+        print(json.dumps(_build_result(rates, torch_stats,
+                                       time.monotonic() - t0)), flush=True)
+        if remaining() < 90:
+            break
+
+    # final (possibly identical) line for single-line consumers
+    print(json.dumps(_build_result(rates, torch_stats, time.monotonic() - t0)),
+          flush=True)
 
 
 if __name__ == "__main__":

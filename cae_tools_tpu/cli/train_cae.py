@@ -246,6 +246,13 @@ def main(argv=None):
     if args.scheduler_type:
         # fix-forward: the reference accepts --scheduler-type but never
         # wires it (cli/train_cae.py:41); here it selects the LR schedule
+        if args.method == "resunet_gan" and args.scheduler_type == "ReduceLROnPlateau":
+            raise SystemExit(
+                "--scheduler-type ReduceLROnPlateau is not supported with "
+                "--method resunet_gan (critic/generator losses do not "
+                "plateau jointly); pick StepLR, ExponentialLR or "
+                "CosineAnnealingLR"
+            )
         mt.scheduler_type = args.scheduler_type
         mt.lr_step_size = args.lr_step_size
         mt.lr_gamma = args.lr_gamma

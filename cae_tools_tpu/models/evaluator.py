@@ -311,9 +311,9 @@ class ModelEvaluator:
         t_lo, t_hi = var_range(out_v)
         p_lo, p_hi = var_range(pred_v)
         ranges[out_v] = ranges[pred_v] = (min(t_lo, p_lo), max(t_hi, p_hi))
-        err = np.abs(
-            np.asarray(ds[pred_v].values[:count, 0], dtype=np.float64)
-            - np.asarray(ds[out_v].values[:count, 0], dtype=np.float64)
+        err = np.abs(  # (count, C, Y, X) — every channel, not just 0
+            np.asarray(ds[pred_v].values[:count], dtype=np.float64)
+            - np.asarray(ds[out_v].values[:count], dtype=np.float64)
         )
         err_hi = float(np.nanmax(err)) if err.size else 1.0
 
@@ -346,6 +346,14 @@ class ModelEvaluator:
             )
             fig.add_element("figcaption").add_text(name)
 
+        def channel_panels(row, name, arr3d, lo, hi, cmap="coolwarm"):
+            # one panel per channel (multi-channel variables were
+            # previously silently collapsed to channel 0)
+            n_chan = arr3d.shape[0]
+            for c in range(n_chan):
+                label = name if n_chan == 1 else f"{name} [ch {c}]"
+                panel(row, label, arr3d[c], lo, hi, cmap)
+
         for idx in range(count):
             mae = self.compute_measure(ds, idx, "mae")
             mse = self.compute_measure(ds, idx, "mse")
@@ -361,11 +369,11 @@ class ModelEvaluator:
             row = builder.body().add_element("div")
             for v in grid_inputs:
                 lo, hi = ranges[v]
-                panel(row, v, np.asarray(ds[v].values[idx, 0]), lo, hi)
+                channel_panels(row, v, np.asarray(ds[v].values[idx]), lo, hi)
             lo, hi = ranges[out_v]
-            panel(row, out_v, np.asarray(ds[out_v].values[idx, 0]), lo, hi)
-            panel(row, pred_v, np.asarray(ds[pred_v].values[idx, 0]), lo, hi)
-            panel(row, "|error|", err[idx], 0.0, err_hi, cmap="magma")
+            channel_panels(row, out_v, np.asarray(ds[out_v].values[idx]), lo, hi)
+            channel_panels(row, pred_v, np.asarray(ds[pred_v].values[idx]), lo, hi)
+            channel_panels(row, "|error|", err[idx], 0.0, err_hi, cmap="magma")
 
         with open(os.path.join(folder, "index.html"), "w") as f:
             f.write(builder.get_html())

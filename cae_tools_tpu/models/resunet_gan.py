@@ -88,7 +88,25 @@ class ResUNetGAN(UNETRes):
     # ---- training -----------------------------------------------------------
     def _make_trainer(self, loss_fn, config, train_data):
         from ..train.gan import GANTrainer
+        from ..train.stream import DEVICE_RESIDENT_LIMIT_BYTES, data_nbytes
 
+        # the adversarial trainer is device-resident only (no streaming
+        # twin); fail fast instead of silently bypassing the pick_trainer
+        # size check every other model family goes through
+        if getattr(self, "streaming", False):
+            raise ValueError(
+                "resunet_gan has no streaming trainer; unset "
+                "model.streaming or use a non-adversarial method"
+            )
+        nbytes = data_nbytes(train_data)
+        if nbytes > DEVICE_RESIDENT_LIMIT_BYTES:
+            raise ValueError(
+                f"training data ({nbytes / 1e9:.2f} GB) exceeds the "
+                f"device-resident budget "
+                f"({DEVICE_RESIDENT_LIMIT_BYTES / 1e9:.2f} GB) and "
+                "resunet_gan has no streaming trainer; reduce the dataset "
+                "or train on a larger mesh"
+            )
         return GANTrainer(
             loss_fn,
             config,

@@ -210,10 +210,10 @@ class GANTrainer(Trainer):
                     bidx, bw, brng = scan_in
                     batch = {k: v[bidx] for k, v in data.items()}
                     batch["w"] = bw
-                    keys = jax.random.split(brng, 3 + n_crit)
-                    r_aug, r_fake, r_g, r_gps = (
-                        keys[0], keys[1], keys[2], keys[3:],
-                    )
+                    keys = jax.random.split(brng, 2 + 2 * n_crit)
+                    r_aug, r_g = keys[0], keys[1]
+                    r_fakes = keys[2:2 + n_crit]
+                    r_gps = keys[2 + n_crit:]
                     if augment_fn is not None:
                         # one draw per step: critic and generator see the
                         # same augmented pair
@@ -222,13 +222,20 @@ class GANTrainer(Trainer):
                     wmean = lambda s: jnp.sum(s * bw) / wsum
 
                     # -- critic: fake from the current generator, no grads
-                    # through it (unet.py:277-293 gradient-penalty semantics)
-                    fake, _ = net_apply(
-                        g_params, state, batch["x"], True, rng=r_fake
-                    )
-                    fake = jax.lax.stop_gradient(fake)
+                    # through it (unet.py:277-293 gradient-penalty semantics).
+                    # A FRESH generator sample (new dropout rng) is drawn per
+                    # critic iteration per WGAN-GP (Gulrajani et al. 2017);
+                    # the real minibatch is shared across the n_critic
+                    # iterations (deviation from the paper's fresh minibatch
+                    # per critic step — the compiled epoch scan owns the
+                    # batch schedule).
                     wdist = gp_val = 0.0
                     for i in range(n_crit):
+                        fake, _ = net_apply(
+                            g_params, state, batch["x"], True, rng=r_fakes[i]
+                        )
+                        fake = jax.lax.stop_gradient(fake)
+
                         def d_loss_fn(dp):
                             s_real = critic_apply(dp, batch["y"], batch["x"])
                             s_fake = critic_apply(dp, fake, batch["x"])

@@ -56,6 +56,8 @@ def build_parser():
     parser.add_argument("--perceptual-weights", type=str, default=None,
                         help="path to an .npz HWIO filter bank for the perceptual/contrastive feature extractor (default: torchvision VGG19 if importable, else a fixed random pyramid)")
     parser.add_argument("--scheduler-type", type=str, help="scheduler type ('StepLR', 'ReduceLROnPlateau', 'ExponentialLR','CosineAnnealingLR')", default=None)
+    parser.add_argument("--checkpoint-interval", type=int, default=0,
+                        help="save an orbax snapshot (params + BN state + optimizer moments) under <model-folder>/orbax every N epochs; 0 disables. --continue-training resumes from the latest snapshot when one exists (exact resume incl. optimizer moments)")
     parser.add_argument("--method", choices=["conv", "unet", "unet_res", "srcnn_res", "resunet_gan", "var", "vae", "linear"], default="var", help="methods")
     parser.add_argument("--layer-definitions-path", help="specify path of a JSON file with layer definitions", default=None)
     parser.add_argument("--stride", type=int, help="stride to use in convolutional layers", default=2)
@@ -205,6 +207,9 @@ def main(argv=None):
         mt.nr_epochs = args.nr_epochs
         mt.lr = args.learning_rate
         mt.batch_size = args.batch_size
+        # exact resume when an orbax snapshot exists (restores optimizer
+        # moments; the reference restarts them, cli/train_cae.py:111-125)
+        mt.resume_from_checkpoint = True
         if args.database_path:
             # fix-forward: the reference loses the tracker on retrain
             # (cli/train_cae.py:116-125 constructs without database_path)
@@ -224,6 +229,9 @@ def main(argv=None):
     mesh = mesh_from_flag(args.devices)
     if mesh is not None:
         mt.set_mesh(mesh)  # DP training over the mesh's "data" axis
+
+    if args.checkpoint_interval:
+        mt.checkpoint_interval = args.checkpoint_interval
 
     if args.additional_loss:
         # fail fast instead of the reference's silent no-op: only the

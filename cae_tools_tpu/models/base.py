@@ -132,6 +132,19 @@ class BaseModel:
             crop_scale=getattr(self, "crop_scale", (0.6, 1.0)),
         )
 
+    def _configure_checkpointing(self, trainer, model_path):
+        """Wire orbax mid-train checkpointing (train/checkpoint.py) into a
+        trainer: ``model.checkpoint_interval`` epochs between snapshots
+        under ``<model_path>/orbax``, and ``model.resume_from_checkpoint``
+        (set by the CLI's --continue-training) restores the latest snapshot
+        including optimizer moments — exact resume, unlike the reference's
+        from-scratch optimizer on retrain (cli/train_cae.py:111-125)."""
+        trainer.checkpoint_folder = model_path or None
+        trainer.checkpoint_interval = int(
+            getattr(self, "checkpoint_interval", 0) or 0
+        )
+        trainer.resume = bool(getattr(self, "resume_from_checkpoint", False))
+
     def _make_trainer(self, loss_fn, config, train_data):
         """Device-resident trainer by default; streaming for huge datasets
         or when ``model.streaming = True``."""

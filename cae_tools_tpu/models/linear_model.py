@@ -195,6 +195,7 @@ class LinearModel(BaseModel):
         trainer = self._make_trainer(
             self._make_loss_fn(), config, {"x": x_tr, "y": y_tr}
         )
+        self._configure_checkpointing(trainer, model_path)
 
         def log_fn(epoch, train_loss, test_loss, train_aux, test_aux, lr):
             print("%5d %.6f %.6f" % (epoch, train_loss, test_loss))

@@ -305,6 +305,7 @@ class UNET(BaseModel):
         trainer = self._make_trainer(
             self._make_loss_fn(), config, {"x": x_tr, "y": y_tr, "m": m_tr}
         )
+        self._configure_checkpointing(trainer, model_path)
 
         def log_fn(epoch, train_loss, test_loss, train_aux, test_aux, lr):
             print(

@@ -29,14 +29,20 @@ def _manager(folder, max_to_keep=3):
     )
 
 
-def save_checkpoint(folder, step: int, params, state, opt_state=None):
-    """Save a (possibly sharded) train snapshot under ``folder/orbax``."""
+def save_checkpoint(folder, step: int, params, state, opt_state=None,
+                    extra=None):
+    """Save a (possibly sharded) train snapshot under ``folder/orbax``.
+
+    ``extra``: additional top-level pytrees (e.g. the GAN critic's params
+    and optimizer state) merged into the payload."""
     import orbax.checkpoint as ocp
 
     mgr = _manager(folder)
     payload = {"params": params, "state": state}
     if opt_state is not None:
         payload["opt_state"] = opt_state
+    if extra:
+        payload.update(extra)
     mgr.save(step, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
     mgr.close()

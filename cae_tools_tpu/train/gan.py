@@ -116,10 +116,41 @@ class GANTrainer(Trainer):
         g_opt = g_tx.init(g_params)
         d_opt = d_tx.init(d_params)
 
+        # ---- orbax resume (two-player carry; see Trainer.fit twin) -------
+        ckpt_base = 0
+        if self.checkpoint_folder and self.resume:
+            from . import checkpoint as ckpt
+
+            try:
+                step = ckpt.latest_step(self.checkpoint_folder)
+            except Exception:
+                step = None
+            if step is not None:
+                template = {
+                    "params": g_params, "state": state, "opt_state": g_opt,
+                    "d_params": d_params, "d_opt": d_opt,
+                }
+                restored = ckpt.restore_checkpoint(
+                    self.checkpoint_folder, step, template=template
+                )
+                g_params = restored["params"]
+                state = restored["state"]
+                g_opt = restored.get("opt_state", g_opt)
+                d_params = restored.get("d_params", d_params)
+                d_opt = restored.get("d_opt", d_opt)
+                ckpt_base = int(step)
+                self.resume = False  # one-shot: later fits must not rewind
+                if self.mesh is not None:
+                    repl = replicated_sharding(self.mesh)
+                    g_params, state, g_opt, d_params, d_opt = jax.device_put(
+                        (g_params, state, g_opt, d_params, d_opt), repl
+                    )
+
         from ..utils.profiling import trace as profile_trace
 
         rng = jax.random.PRNGKey(cfg.seed)
         carry = (g_params, state, d_params, g_opt, d_opt)
+        last_ckpt_epoch = 0
         epoch = 0
         train_loss = test_loss = 0.0
         profile_ctx = profile_trace()
@@ -155,14 +186,36 @@ class GANTrainer(Trainer):
                             jax.tree_util.tree_map(float, test_aux),
                             float(self.lr_for_epoch(e_now)),
                         )
+                if (
+                    self.checkpoint_interval > 0
+                    and self.checkpoint_folder
+                    and epoch - last_ckpt_epoch >= self.checkpoint_interval
+                ):
+                    self._save_snapshot(ckpt_base + epoch, carry)
+                    last_ckpt_epoch = epoch
         except KeyboardInterrupt:
             print("Training interrupted. Performing cleanup...")
         finally:
             profile_ctx.__exit__(None, None, None)
+        if (
+            self.checkpoint_interval > 0
+            and self.checkpoint_folder
+            and epoch > last_ckpt_epoch
+        ):
+            self._save_snapshot(ckpt_base + epoch, carry)
         g_params, state, d_params, _, _ = carry
         params = dict(g_params)
         params["disc"] = d_params
         return params, state, float(train_loss), float(test_loss)
+
+    def _save_snapshot(self, step, carry):
+        from . import checkpoint as ckpt
+
+        g_params, state, d_params, g_opt, d_opt = carry
+        ckpt.save_checkpoint(
+            self.checkpoint_folder, step, g_params, state,
+            opt_state=g_opt, extra={"d_params": d_params, "d_opt": d_opt},
+        )
 
     # ------------------------------------------------------------------
     def _gan_graphs(self, n, steps, n_pad, tn, tsteps, tn_pad):

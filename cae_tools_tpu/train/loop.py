@@ -130,6 +130,15 @@ class Trainer:
         self.mesh = mesh
         self.donate = donate
         self._epoch_of_step = None  # set in fit()
+        #: orbax mid-train checkpointing (train/checkpoint.py), configured
+        #: by the model via BaseModel._configure_checkpointing: save
+        #: params+state+opt_state every `checkpoint_interval` epochs under
+        #: `checkpoint_folder`/orbax; `resume` restores the latest snapshot
+        #: (including optimizer moments — the reference's
+        #: --continue-training restarts them, cli/train_cae.py:111-125)
+        self.checkpoint_folder = None
+        self.checkpoint_interval = 0
+        self.resume = False
         #: jitted (run_epochs, eval_loss, tx) per data geometry — reusing
         #: them across fit() calls (continue-training, HPO trials, the
         #: UNET double fit) skips the 75-85 s remote recompile per call
@@ -304,11 +313,39 @@ class Trainer:
         )
         opt_state = tx.init(params)
 
+        # ---- orbax resume: params + BN state + optimizer moments ---------
+        ckpt_base = 0
+        if self.checkpoint_folder and self.resume:
+            from . import checkpoint as ckpt
+
+            try:
+                step = ckpt.latest_step(self.checkpoint_folder)
+            except Exception:
+                step = None
+            if step is not None:
+                template = {
+                    "params": params, "state": state, "opt_state": opt_state
+                }
+                restored = ckpt.restore_checkpoint(
+                    self.checkpoint_folder, step, template=template
+                )
+                params = restored["params"]
+                state = restored["state"]
+                opt_state = restored.get("opt_state", opt_state)
+                ckpt_base = int(step)
+                self.resume = False  # one-shot: later fits must not rewind
+                if self.mesh is not None:
+                    repl = replicated_sharding(self.mesh)
+                    params = jax.device_put(params, repl)
+                    state = jax.device_put(state, repl)
+                    opt_state = jax.device_put(opt_state, repl)
+
         # ---- host loop: record/print at the reference cadence -----------
         from ..utils.profiling import trace as profile_trace
 
         rng = jax.random.PRNGKey(cfg.seed)
         carry = (params, state, opt_state)
+        last_ckpt_epoch = 0
         epoch = 0
         train_loss = test_loss = 0.0
         plateau_best = float("inf")
@@ -362,11 +399,34 @@ class Trainer:
                             jax.tree_util.tree_map(float, test_aux),
                             float(self.lr_for_epoch(e_now)),
                         )
+                if (
+                    self.checkpoint_interval > 0
+                    and self.checkpoint_folder
+                    and epoch - last_ckpt_epoch >= self.checkpoint_interval
+                ):
+                    self._save_snapshot(ckpt_base + epoch, carry)
+                    last_ckpt_epoch = epoch
         except KeyboardInterrupt:
             # preserve partially-trained weights (reference unet.py:483-507
             # semantics): stop cleanly, return the current carry
             print("Training interrupted. Performing cleanup...")
         finally:
             profile_ctx.__exit__(None, None, None)
+        if (
+            self.checkpoint_interval > 0
+            and self.checkpoint_folder
+            and epoch > last_ckpt_epoch
+        ):
+            # final snapshot: makes orbax/latest == the returned weights, so
+            # a later --continue-training resumes the Adam moments exactly
+            self._save_snapshot(ckpt_base + epoch, carry)
         params, state, opt_state = carry
         return params, state, float(train_loss), float(test_loss)
+
+    def _save_snapshot(self, step, carry):
+        from . import checkpoint as ckpt
+
+        params, state, opt_state = carry[0], carry[1], carry[2]
+        ckpt.save_checkpoint(
+            self.checkpoint_folder, step, params, state, opt_state=opt_state
+        )

@@ -106,6 +106,35 @@ class StreamingTrainer(Trainer):
         tx, train_step, eval_step = self._stream_graphs(steps)
         opt_state = tx.init(params)
 
+        # ---- orbax resume (see Trainer.fit twin) -------------------------
+        ckpt_base = 0
+        if self.checkpoint_folder and self.resume:
+            from . import checkpoint as ckpt
+
+            try:
+                step_no = ckpt.latest_step(self.checkpoint_folder)
+            except Exception:
+                step_no = None
+            if step_no is not None:
+                template = {
+                    "params": params, "state": state, "opt_state": opt_state
+                }
+                restored = ckpt.restore_checkpoint(
+                    self.checkpoint_folder, step_no, template=template
+                )
+                params = restored["params"]
+                state = restored["state"]
+                opt_state = restored.get("opt_state", opt_state)
+                ckpt_base = int(step_no)
+                self.resume = False  # one-shot: later fits must not rewind
+                if self.mesh is not None:
+                    repl = replicated_sharding(self.mesh)
+                    params, state, opt_state = jax.device_put(
+                        (params, state, opt_state), repl
+                    )
+        last_ckpt_epoch = 0
+        epochs_done = 0
+
         multihost = self.use_global_batch
         if multihost is None:
             multihost = jax.process_count() > 1
@@ -238,9 +267,27 @@ class StreamingTrainer(Trainer):
                             test_aux,
                             float(self.lr_for_epoch(epoch)),
                         )
+                epochs_done = epoch + 1
+                if (
+                    self.checkpoint_interval > 0
+                    and self.checkpoint_folder
+                    and epochs_done - last_ckpt_epoch >= self.checkpoint_interval
+                ):
+                    self._save_snapshot(
+                        ckpt_base + epochs_done, (params, state, opt_state)
+                    )
+                    last_ckpt_epoch = epochs_done
         except KeyboardInterrupt:
             print("Training interrupted. Performing cleanup...")
 
+        if (
+            self.checkpoint_interval > 0
+            and self.checkpoint_folder
+            and epochs_done > last_ckpt_epoch
+        ):
+            self._save_snapshot(
+                ckpt_base + epochs_done, (params, state, opt_state)
+            )
         return params, state, float(train_loss), float(test_loss)
 
 

@@ -51,3 +51,94 @@ def test_orbax_sharded_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.asarray(w))
     # restored array keeps the template's sharding
     assert restored["params"]["w"].sharding.spec == P(None, "model")
+
+
+def _tiny_loss_fn():
+    def loss_fn(params, state, rng, batch, train):
+        pred = batch["x"] @ params["w"] + params["b"]
+        per = jnp.mean((pred - batch["y"]) ** 2, axis=1)
+        w = batch["w"]
+        loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss, (state, {})
+
+    return loss_fn
+
+
+def _tiny_data(n=16, d=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    true_w = rng.normal(size=(d, d)).astype(np.float32)
+    y = x @ true_w + 0.01 * rng.normal(size=(n, d)).astype(np.float32)
+    return {"x": x, "y": y}
+
+
+def test_trainer_periodic_checkpoint_and_exact_resume(tmp_path):
+    """Kill-and-resume: a run checkpointed every 2 epochs, resumed into a
+    fresh Trainer, continues the trajectory (params AND Adam moments come
+    from the snapshot, not from scratch) and keeps a monotonic step count."""
+    from cae_tools_tpu.train.loop import TrainConfig, Trainer
+
+    folder = str(tmp_path / "model")
+    data = _tiny_data()
+    params = {
+        "w": jnp.zeros((4, 4), jnp.float32),
+        "b": jnp.zeros((4,), jnp.float32),
+    }
+    cfg = TrainConfig(batch_size=8, nr_epochs=6, test_interval=2, lr=0.05)
+
+    t1 = Trainer(_tiny_loss_fn(), cfg)
+    t1.checkpoint_folder = folder
+    t1.checkpoint_interval = 2
+    hist1 = {"train_loss": [], "test_loss": []}
+    p1, s1, _, last_test_1 = t1.fit(params, {}, data, data, hist1)
+
+    # snapshots exist; the final one equals the returned weights and
+    # carries non-zero Adam moments
+    assert latest_step(folder) == 6
+    snap = restore_checkpoint(folder)
+    np.testing.assert_allclose(
+        np.asarray(snap["params"]["w"]), np.asarray(p1["w"]), rtol=1e-6
+    )
+    mu_leaves = jax.tree_util.tree_leaves(snap["opt_state"])
+    assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in mu_leaves)
+
+    # fresh trainer resumes: step count continues, loss keeps improving
+    t2 = Trainer(_tiny_loss_fn(), cfg)
+    t2.checkpoint_folder = folder
+    t2.checkpoint_interval = 2
+    t2.resume = True
+    hist2 = {"train_loss": [], "test_loss": []}
+    p2, s2, _, last_test_2 = t2.fit(params, {}, data, data, hist2)
+    assert latest_step(folder) == 12  # 6 (resumed base) + 6 more
+    assert last_test_2 < last_test_1  # trajectory continued, not restarted
+    # resume overrode the fresh `params` argument with the snapshot
+    assert float(np.abs(np.asarray(p2["w"])).max()) > 0
+
+
+def test_model_level_checkpoint_resume(tmp_path, circle_data):
+    """LinearModel + checkpoint_interval: orbax snapshots land under the
+    model folder and --continue-training-style resume restores them."""
+    import os
+
+    from cae_tools_tpu.models.linear_model import LinearModel
+    from cae_tools_tpu.xrcompat import xr
+
+    train_ds = xr.open_dataset(os.path.join(circle_data, "train.nc"))
+    test_ds = xr.open_dataset(os.path.join(circle_data, "test.nc"))
+    folder = str(tmp_path / "linear")
+
+    mt = LinearModel(batch_size=6, nr_epochs=10, test_interval=5, lr=0.05)
+    mt.checkpoint_interval = 5
+    mt.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert os.path.isdir(os.path.join(folder, "orbax"))
+    assert latest_step(folder) == 10
+    first_run_last = mt.history["test_loss"][-1]
+
+    mt2 = LinearModel()
+    mt2.load(folder)
+    mt2.nr_epochs = 10
+    mt2.checkpoint_interval = 5
+    mt2.resume_from_checkpoint = True
+    mt2.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert latest_step(folder) == 20
+    assert mt2.history["test_loss"][-1] < first_run_last

@@ -24,7 +24,10 @@ def add_devices_flag(parser):
 
 
 def mesh_from_flag(value):
-    """Resolve ``--devices`` to a jax mesh (or None for single-device)."""
+    """Resolve ``--devices`` to a jax mesh (or None for single-device).
+
+    Accepts ``N`` (N-way data parallelism), ``NxM`` (N-way data x M-way
+    model/tensor parallelism — e.g. ``4x2``), or ``all``/``auto``."""
     if not value:
         return None
     import jax
@@ -32,15 +35,23 @@ def mesh_from_flag(value):
     from ..parallel.mesh import get_mesh
 
     available = len(jax.devices())
-    n = available if value in ("all", "auto") else int(value)
+    n_model = 1
+    if value in ("all", "auto"):
+        n = available
+    elif "x" in str(value):
+        d, m = str(value).lower().split("x", 1)
+        n_data, n_model = int(d), int(m)
+        n = n_data * n_model
+    else:
+        n = int(value)
     if n > available:
         raise SystemExit(
-            f"--devices {n} requested but only {available} visible "
-            f"({[d.platform for d in jax.devices()][:4]}...)"
+            f"--devices {value} requests {n} devices but only {available} "
+            f"visible ({[d.platform for d in jax.devices()][:4]}...)"
         )
     if n <= 1:
         return None
-    return get_mesh(n_data=n)
+    return get_mesh(n_data=n // n_model, n_model=n_model)
 
 
 def open_inputs(paths):

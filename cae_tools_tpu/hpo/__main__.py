@@ -27,7 +27,25 @@ def main(argv=None):
     parser.add_argument("--n-trials", type=int, default=50)
     parser.add_argument("--nr-epochs", type=int, default=100)
     parser.add_argument("--method", default="unet")
-    parser.add_argument("--mode", choices=["inproc", "subprocess"], default="inproc")
+    parser.add_argument(
+        "--mode", choices=["inproc", "subprocess", "vmap"], default="inproc",
+        help="inproc: one JAX process, compile caches shared across trials; "
+        "subprocess: reference behavior (CLI + stdout scrape); vmap: train "
+        "ALL trials simultaneously, vmapped over a trials axis sharded "
+        "across the --devices mesh (lr/wd axes only; structural knobs are "
+        "pinned to one configuration)",
+    )
+    parser.add_argument(
+        "--sample-files", type=int, default=None,
+        help="per-trial randomized data subsample: train each trial on N "
+        "files drawn from --train-inputs/--test-inputs (reference "
+        "hypar_optim.py:40-41 draws 100 via `ls | shuf`)",
+    )
+    parser.add_argument(
+        "--devices", type=str, default=None,
+        help="mesh layout for --mode vmap, e.g. '8' or '8x1' "
+        "(data x model axes)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-path", default=None)
     parser.add_argument(
@@ -60,6 +78,12 @@ def main(argv=None):
         space["method"] = ("fixed", args.method)
     space["nr_epochs"] = ("fixed", args.nr_epochs)
 
+    mesh = None
+    if args.devices:
+        from ..cli.common import mesh_from_flag
+
+        mesh = mesh_from_flag(args.devices)
+
     opt = HyperOptimizer(
         train_inputs=args.train_inputs,
         test_inputs=args.test_inputs,
@@ -71,6 +95,8 @@ def main(argv=None):
         seed=args.seed,
         log_path=args.log_path or f"{args.work_folder}/study.jsonl",
         seed_trials=seed_trials,
+        sample_files=args.sample_files,
+        mesh=mesh,
     )
     best_params, best_value, results = opt.run(
         n_trials=args.n_trials, storage=args.storage

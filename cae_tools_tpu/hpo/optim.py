@@ -184,10 +184,17 @@ class HyperOptimizer:
     output_variable: str
     work_folder: str
     search_space: dict = field(default_factory=default_search_space)
-    mode: str = "inproc"  # "inproc" | "subprocess"
+    mode: str = "inproc"  # "inproc" | "subprocess" | "vmap"
     seed: int = 0
     log_path: Optional[str] = None
     constraints: Optional[Callable] = None
+    #: per-trial randomized file subsampling (reference hypar_optim.py:40-41
+    #: draws 100 random train/test .nc files via ``ls | shuf`` per trial):
+    #: when set, each trial trains on `sample_files` files drawn from
+    #: train_inputs/test_inputs with a per-trial deterministic seed
+    sample_files: Optional[int] = None
+    #: mesh for --mode vmap (trials axis sharded over its "data" devices)
+    mesh: object = None
     # seed-trial enqueue (reference hypar_optim.py:116-131): param dicts
     # evaluated first, before sampled trials
     seed_trials: list = field(default_factory=list)
@@ -228,16 +235,39 @@ class HyperOptimizer:
         return params
 
     # ------------------------------------------------------------------
+    def _trial_inputs(self, number):
+        """Per-trial randomized data subsample (hypar_optim.py:40-41)."""
+        if not self.sample_files:
+            return self.train_inputs, self.test_inputs
+        rng = random.Random(self.seed * 1000003 + number)
+        k = int(self.sample_files)
+        tr = sorted(rng.sample(self.train_inputs, min(k, len(self.train_inputs))))
+        te = sorted(rng.sample(self.test_inputs, min(k, len(self.test_inputs))))
+        return tr, te
+
     def objective(self, trial) -> float:
         params = self._sample(trial)
         number = getattr(trial, "number", 0)
         model_folder = f"{self.work_folder}/trial_{number}"
+        train_inputs, test_inputs = self._trial_inputs(number)
+        if self.sample_files:
+            self._log(
+                {
+                    "trial": number,
+                    "sampled_train_inputs": train_inputs,
+                    "sampled_test_inputs": test_inputs,
+                }
+            )
         start = time.time()
         try:
             if self.mode == "subprocess":
-                test_mse = self._run_subprocess(params, model_folder)
+                test_mse = self._run_subprocess(
+                    params, model_folder, train_inputs, test_inputs
+                )
             else:
-                test_mse = self._run_inproc(params, model_folder)
+                test_mse = self._run_inproc(
+                    params, model_folder, train_inputs, test_inputs
+                )
         except TrialPruned:
             raise
         except Exception as e:
@@ -263,10 +293,10 @@ class HyperOptimizer:
         )
         return test_mse
 
-    def _cli_args(self, params, model_folder):
+    def _cli_args(self, params, model_folder, train_inputs=None, test_inputs=None):
         args = [
-            "--train-inputs", *self.train_inputs,
-            "--test-inputs", *self.test_inputs,
+            "--train-inputs", *(train_inputs or self.train_inputs),
+            "--test-inputs", *(test_inputs or self.test_inputs),
             "--model-folder", model_folder,
             "--input-variables", *self.input_variables,
             "--output-variable", self.output_variable,
@@ -295,10 +325,11 @@ class HyperOptimizer:
                 args += [flag, str(params[knob])]
         return args
 
-    def _run_subprocess(self, params, model_folder) -> float:
+    def _run_subprocess(self, params, model_folder,
+                        train_inputs=None, test_inputs=None) -> float:
         """Reference behavior: run train_cae CLI, scrape last test_mse."""
         cmd = [sys.executable, "-m", "cae_tools_tpu.cli.train_cae"] + self._cli_args(
-            params, model_folder
+            params, model_folder, train_inputs, test_inputs
         )
         try:
             output = subprocess.check_output(
@@ -315,13 +346,14 @@ class HyperOptimizer:
             return float(rows[-1])
         return float(matches[-1])
 
-    def _run_inproc(self, params, model_folder) -> float:
+    def _run_inproc(self, params, model_folder,
+                    train_inputs=None, test_inputs=None) -> float:
         """TPU-friendly: build + train in this process, read the history."""
         from ..cli.common import broadcast_scalar_vars, open_inputs
         from ..cli.train_cae import build_model, build_parser
 
         args = build_parser().parse_args(
-            self._cli_args(params, model_folder)
+            self._cli_args(params, model_folder, train_inputs, test_inputs)
         )
         train_ds = open_inputs(args.train_inputs)
         test_ds = open_inputs(args.test_inputs)
@@ -358,6 +390,8 @@ class HyperOptimizer:
         path; both the optuna path and the built-in fallback sampler persist
         and resume the study from it (reference ``hypar_optim.py:107-113``).
         """
+        if self.mode == "vmap":
+            return self._run_vmap(n_trials, storage)
         try:
             import optuna
         except ModuleNotFoundError:
@@ -365,6 +399,154 @@ class HyperOptimizer:
         if optuna is not None:
             return self._run_optuna(optuna, n_trials, storage)
         return self._run_fallback(n_trials, storage)
+
+    # ------------------------------------------------------------------
+    def _run_vmap(self, n_trials, storage):
+        """BASELINE config 5 surfaced as ``--mode vmap``: sample
+        ``n_trials`` (learning_rate, weight_decay) pairs from the space and
+        train them ALL simultaneously — the compiled epoch x batch loop is
+        vmapped over a trials axis sharded across the mesh's "data" devices
+        (``hpo/vmap_search.py``), standing in for the reference's
+        sequential subprocess trials (``hypar_optim.py:76``).
+
+        Structural knobs (latent/fc/kernel/batch/...) change array shapes
+        and cannot live on a vmap axis; they are pinned to one
+        configuration (the space's fixed values plus the first sampled
+        draw, or the first --seed-trial) — sweep them with ``--mode
+        inproc`` around this (the classic two-level TPU sweep)."""
+        import numpy as np
+
+        from .vmap_search import vmap_trials
+
+        rng = random.Random(self.seed)
+        preset = dict(self.seed_trials[0]) if self.seed_trials else None
+        base = self._sample(_RandomTrial(0, rng, preset=preset))
+        method = str(base.get("method", "unet"))
+        if method == "resunet_gan":
+            raise ValueError(
+                "--mode vmap does not support the adversarial method "
+                "(two optimizers in the step); use --mode inproc"
+            )
+        lr_spec = self.search_space.get(
+            "learning_rate", ("loguniform", 1e-5, 1e-2)
+        )
+        wd_spec = self.search_space.get(
+            "weight_decay", ("loguniform", 1e-7, 1e-3)
+        )
+        lrs, wds = [], []
+        for i in range(n_trials):
+            t = _RandomTrial(i, rng)
+            lrs.append(t.suggest("learning_rate", lr_spec))
+            wds.append(t.suggest("weight_decay", wd_spec))
+
+        # one-time architecture/dataset setup through the product path
+        # (spec solver, normalisation, module build) with nr_epochs=0
+        from ..cli.common import broadcast_scalar_vars, open_inputs
+        from ..cli.train_cae import build_model, build_parser
+        from ..data.dataset import ArrayDataset
+
+        train_inputs, test_inputs = self._trial_inputs(0)
+        setup = dict(base)
+        setup["nr_epochs"] = 0
+        args = build_parser().parse_args(
+            self._cli_args(setup, f"{self.work_folder}/vmap_base",
+                           train_inputs, test_inputs)
+        )
+        train_ds = open_inputs(args.train_inputs)
+        test_ds = open_inputs(args.test_inputs)
+        case_dimension = train_ds[args.output_variable].dims[0]
+        broadcast_scalar_vars(train_ds, args.input_variables, case_dimension)
+        broadcast_scalar_vars(test_ds, args.input_variables, case_dimension)
+        mt = build_model(args)
+        mt.train(
+            args.input_variables,
+            args.output_variable,
+            training_ds=train_ds,
+            testing_ds=test_ds,
+            model_path="",
+        )
+
+        def make_arrays(ds):
+            ads = ArrayDataset(
+                ds,
+                list(args.input_variables),
+                args.output_variable,
+                normalise_in=mt.normalise_input,
+                normalise_out=mt.normalise_output,
+            )
+            ads.set_normalisation_parameters(mt.normalisation_parameters)
+            return ads.arrays_nhwc()
+
+        x_tr, y_tr, m_tr = make_arrays(train_ds)
+        x_te, y_te, m_te = make_arrays(test_ds)
+        data = {"x": x_tr, "y": y_tr}
+        tdata = {"x": x_te, "y": y_te}
+        unet_family = method in ("unet", "unet_res")
+        if unet_family:
+            data["m"] = m_tr if m_tr is not None else np.ones_like(y_tr)
+            tdata["m"] = m_te if m_te is not None else np.ones_like(y_te)
+
+        loss_fn = mt._make_loss_fn()
+        if hasattr(mt, "_init_params"):
+
+            def init_fn(r):
+                mt._init_params(r)
+                return mt.params, (mt.state or {})
+
+        else:  # LinearModel inits inline in train()
+
+            def init_fn(r):
+                return mt.linear.init(r)
+
+        losses, params_stack, state_stack = vmap_trials(
+            loss_fn,
+            init_fn,
+            data,
+            tdata,
+            lrs,
+            wds,
+            batch_size=int(base.get("batch_size", 10)),
+            nr_epochs=int(base.get("nr_epochs", 100)),
+            seed=self.seed,
+            mesh=self.mesh,
+            optimizer="adamw" if method in ("unet", "unet_res", "srcnn_res")
+            else "adam_l2",
+        )
+
+        study = _FallbackStudy(storage, self.study_name)
+        results = []
+        best_params, best_value, best_i = None, float("inf"), None
+        for i in range(n_trials):
+            value = float(losses[i])
+            params = dict(base)
+            params["learning_rate"] = lrs[i]
+            params["weight_decay"] = wds[i]
+            rec = {"number": i, "value": value, "params": params}
+            if not math.isfinite(value):
+                rec = {
+                    "number": i, "value": None, "params": params,
+                    "pruned": "non-finite test loss",
+                }
+            results.append(rec)
+            study.record(rec)
+            self._log({"trial": i, "params": params, "test_mse": value,
+                       "mode": "vmap"})
+            if math.isfinite(value) and value < best_value:
+                best_params, best_value, best_i = params, value, i
+        study.close()
+
+        if best_i is not None:
+            # persist the winning trial as a loadable model folder
+            import jax
+
+            take = lambda a: np.asarray(a[best_i])
+            mt.params = jax.tree_util.tree_map(take, params_stack)
+            if state_stack:
+                mt.state = jax.tree_util.tree_map(take, state_stack)
+            mt.lr = best_params["learning_rate"]
+            mt.weight_decay = best_params["weight_decay"]
+            mt.save(f"{self.work_folder}/vmap_best")
+        return best_params, best_value, results
 
     def _run_optuna(self, optuna, n_trials, storage):
         if storage and not storage.startswith("sqlite:"):

@@ -82,11 +82,26 @@ class BaseModel:
         self.apply_dtype = dtype
         self._apply_cache = {}
 
+    def _tp_place(self, params, state):
+        """On a mesh with a populated "model" axis, shard large dense
+        kernels over it (tensor parallelism — parallel/mesh.py:60); the
+        production case is the LinearModel's (c*y*x) x (C*Y*X) weight.
+        No-op (replication) for everything else."""
+        if self.mesh is None or int(self.mesh.shape.get("model", 1)) <= 1:
+            return params, state
+        from ..parallel.mesh import shard_params_tp
+
+        return (
+            shard_params_tp(params, self.mesh),
+            shard_params_tp(state, self.mesh),
+        )
+
     def _apply_params_state(self):
-        """Params/state as fed to the apply graphs (optionally bf16-cast)."""
+        """Params/state as fed to the apply graphs (optionally bf16-cast,
+        TP-sharded when the mesh has a model axis)."""
         dtype = getattr(self, "apply_dtype", None)
         if not dtype:
-            return self.params, self.state
+            return self._tp_place(self.params, self.state)
         cached = getattr(self, "_cast_params", None)
         if cached is None or cached[0] is not self.params:
             jdt = jnp.dtype(dtype)
@@ -102,7 +117,7 @@ class BaseModel:
                 jax.tree_util.tree_map(cast, self.params),
                 jax.tree_util.tree_map(cast, self.state),
             )
-        return self._cast_params[1], self._cast_params[2]
+        return self._tp_place(self._cast_params[1], self._cast_params[2])
 
     # ---- LR schedule selection (CLI --scheduler-type fix-forward:
     # the reference parses the flag but never wires it, cli/train_cae.py:41)

@@ -65,18 +65,21 @@ def shard_params_tp(params, mesh: Mesh, min_size: int = 1 << 20):
     pytree as committed device arrays.
     """
     repl = replicated_sharding(mesh)
+    n_model = int(mesh.shape["model"])
 
     def place(leaf):
-        leaf_arr = np.asarray(leaf)
+        ndim = getattr(leaf, "ndim", None)
+        if ndim is None:  # non-array leaf (python scalar)
+            return leaf
         if (
-            leaf_arr.ndim == 2
-            and leaf_arr.size >= min_size
-            and leaf_arr.shape[1] % mesh.shape["model"] == 0
-            and mesh.shape["model"] > 1
+            ndim == 2
+            and leaf.size >= min_size
+            and leaf.shape[1] % n_model == 0
+            and n_model > 1
         ):
             return jax.device_put(
-                leaf_arr, NamedSharding(mesh, P(None, "model"))
+                leaf, NamedSharding(mesh, P(None, "model"))
             )
-        return jax.device_put(leaf_arr, repl)
+        return jax.device_put(leaf, repl)
 
     return jax.tree_util.tree_map(place, params)

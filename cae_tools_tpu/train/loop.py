@@ -303,15 +303,37 @@ class Trainer:
         copy = lambda a: jnp.array(a, copy=True)
         params = jax.tree_util.tree_map(copy, params)
         state = jax.tree_util.tree_map(copy, state)
+        tp = self.mesh is not None and int(self.mesh.shape.get("model", 1)) > 1
         if self.mesh is not None:
             repl = replicated_sharding(self.mesh)
-            params = jax.device_put(params, repl)
+            if tp:
+                # tensor parallelism: large dense kernels sharded over the
+                # "model" axis (LinearModel's (c*y*x) x (C*Y*X) weight is
+                # the production case); XLA propagates the sharding through
+                # fwd/bwd/Adam and inserts the ICI collectives
+                from ..parallel.mesh import shard_params_tp
+
+                params = shard_params_tp(
+                    params, self.mesh,
+                    min_size=getattr(self, "tp_min_size", 1 << 20),
+                )
+            else:
+                params = jax.device_put(params, repl)
             state = jax.device_put(state, repl)
 
         tx, run_epochs, eval_loss = self._graphs(
             n, steps, n_pad, tn, tsteps, tn_pad
         )
         opt_state = tx.init(params)
+        if tp:
+            # Adam moments mirror the param shapes; give the big-kernel
+            # moments the same "model"-axis sharding as their params
+            from ..parallel.mesh import shard_params_tp
+
+            opt_state = shard_params_tp(
+                opt_state, self.mesh,
+                min_size=getattr(self, "tp_min_size", 1 << 20),
+            )
 
         # ---- orbax resume: params + BN state + optimizer moments ---------
         ckpt_base = 0

@@ -247,3 +247,91 @@ def test_multihost_helpers_single_process():
     assert arr.shape == (16, 3)
     assert arr.sharding.spec == jax.sharding.PartitionSpec("data", None)
     np.testing.assert_allclose(np.asarray(arr), local)
+
+
+def test_tp_linear_trainer_parity_vs_single_device():
+    """Tensor parallelism with a product consumer: the Trainer shards the
+    LinearMap's dense kernel over the mesh's "model" axis (Adam moments
+    too) and the trained weights match a single-device run."""
+    import jax.numpy as jnp
+
+    from cae_tools_tpu.nn import modules as M
+    from cae_tools_tpu.parallel.mesh import shard_params_tp
+    from cae_tools_tpu.train.loop import TrainConfig, Trainer
+    from jax.sharding import PartitionSpec as P
+
+    lin = M.LinearMap((1, 8, 8), (1, 32, 32))
+    params0, _ = lin.init(jax.random.PRNGKey(0))
+
+    def loss_fn(p, s, r, batch, train):
+        out, _ = lin.apply(p, s, batch["x"], train)
+        per = jnp.mean((out - batch["y"]) ** 2, axis=(1, 2, 3))
+        w = batch["w"]
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0), ({}, {})
+
+    rng = np.random.default_rng(3)
+    data = {
+        "x": rng.random((16, 8, 8, 1)).astype(np.float32),
+        "y": rng.random((16, 32, 32, 1)).astype(np.float32),
+    }
+    cfg = TrainConfig(batch_size=8, nr_epochs=4, test_interval=2, lr=0.05)
+
+    mesh = get_mesh(n_data=4, n_model=2)
+    # placement rule: the kernel goes onto the "model" axis
+    placed = shard_params_tp(params0, mesh, min_size=1024)
+    assert placed["fc"]["w"].sharding.spec == P(None, "model")
+    assert placed["fc"]["b"].sharding.spec == P()  # 1-D bias replicated
+
+    t_tp = Trainer(loss_fn, cfg, mesh=mesh)
+    t_tp.tp_min_size = 1024  # test shapes are tiny; production default 1<<20
+    p_tp, _, _, test_tp = t_tp.fit(
+        params0, {}, data, data, {"train_loss": [], "test_loss": []}
+    )
+
+    t_sd = Trainer(loss_fn, cfg)  # single device
+    p_sd, _, _, test_sd = t_sd.fit(
+        params0, {}, data, data, {"train_loss": [], "test_loss": []}
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_tp["fc"]["w"]), np.asarray(p_sd["fc"]["w"]),
+        rtol=0, atol=1e-4,  # f32 reduction-order noise across the mesh
+    )
+    assert test_tp == pytest.approx(test_sd, rel=1e-4)
+
+
+def test_tp_linear_model_end_to_end(tmp_path, circle_data):
+    """--devices 4x2 semantics through the LinearModel product path: train
+    + apply on a dp x tp mesh; apply parity vs the same weights applied
+    single-device."""
+    import os
+
+    from cae_tools_tpu.cli.common import mesh_from_flag
+    from cae_tools_tpu.models.linear_model import LinearModel
+    from cae_tools_tpu.xrcompat import xr
+
+    mesh = mesh_from_flag("4x2")
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    train_ds = xr.open_dataset(os.path.join(circle_data, "train.nc"))
+    test_ds = xr.open_dataset(os.path.join(circle_data, "test.nc"))
+
+    mt = LinearModel(batch_size=4, nr_epochs=6, test_interval=3, lr=0.05)
+    mt.set_mesh(mesh)
+    mt.train(["lowres"], "hires", train_ds, test_ds)
+
+    folder = str(tmp_path / "tp_linear")
+    mt.save(folder)
+
+    s_tp = xr.open_dataset(os.path.join(circle_data, "test.nc"))
+    mt.apply(s_tp, ["lowres"], "prediction")
+
+    mt_sd = LinearModel()
+    mt_sd.load(folder)
+    s_sd = xr.open_dataset(os.path.join(circle_data, "test.nc"))
+    mt_sd.apply(s_sd, ["lowres"], "prediction")
+
+    a = np.asarray(s_tp["prediction"].values)
+    b = np.asarray(s_sd["prediction"].values)
+    assert np.isfinite(a).all()
+    # Kelvin-scale outputs; 1e-4 abs ~ 3e-7 relative
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-3)

@@ -243,8 +243,11 @@ def build_jax_unet_train(batch, k_steps):
     return run, (params, state, opt_state), (x, y)
 
 
-def build_jax_unet_forward(batch):
-    """Eval-mode UNET forward (the production downscaling model)."""
+def build_jax_unet_forward(batch, fused_tail=False):
+    """Eval-mode UNET forward (the production downscaling model).
+
+    ``fused_tail``: run the skip-free trailing decoder stages in the
+    fused Pallas kernel (the on-TPU product default since round 3)."""
     import jax
     import jax.numpy as jnp
 
@@ -264,11 +267,27 @@ def build_jax_unet_forward(batch):
     ep, es = enc.init(jax.random.PRNGKey(0))
     dp, ds = dec.init(jax.random.PRNGKey(1))
 
-    @jax.jit
-    def forward(x):
-        (z, skips), _ = enc.apply(ep, es, x, False)
-        out, _ = dec.apply(dp, ds, z, skips, False)
-        return out
+    if fused_tail:
+        from cae_tools_tpu.ops.pallas.decoder_kernel import (
+            unet_decoder_apply_fused_tail,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+
+        @jax.jit
+        def forward(x):
+            (z, skips), _ = enc.apply(ep, es, x, False)
+            return unet_decoder_apply_fused_tail(
+                dec, dp, ds, z, skips, interpret=interpret
+            )
+
+    else:
+
+        @jax.jit
+        def forward(x):
+            (z, skips), _ = enc.apply(ep, es, x, False)
+            out, _ = dec.apply(dp, ds, z, skips, False)
+            return out
 
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, 16, 16, 1), dtype=np.float32)
@@ -460,11 +479,13 @@ def measure_one(metric: str) -> dict:
         urun, ucarry, udata = build_jax_unet_train(_UNET_BATCH, k)
         unet_ips = _UNET_BATCH / time_jax_train_scan(urun, ucarry, udata, k)
         return {"train_unet": unet_ips}
-    if metric == "apply_unet":
+    if metric in ("apply_unet", "apply_unet_fused"):
         convops.set_precision("high")
         ub = min(128, _BATCH)
-        forward, x = build_jax_unet_forward(ub)
-        return {"apply_unet": ub * iters / time_jax(forward, x, iters)}
+        forward, x = build_jax_unet_forward(
+            ub, fused_tail=metric == "apply_unet_fused"
+        )
+        return {metric: ub * iters / time_jax(forward, x, iters)}
     convops.set_precision("default" if metric.startswith("apply_bf16") else "high")
     kwargs = {
         "apply_fused": {"fused_tail": True},
@@ -516,13 +537,15 @@ _METRICS = (
     "apply_fused",
     "train_convae",
     "apply_xla_high",
-    "apply_unet",
+    "apply_unet_fused",  # UNET product-default apply (fused Pallas tail)
+    "apply_unet",        # UNET pure-XLA apply (the fused tail's baseline)
     "train_unet",
     "apply_bf16",
     "apply_bf16_weights",
 )
-_ALL_KEYS = ("apply_fused", "train_convae", "train_unet", "apply_unet",
-             "apply_xla_high", "apply_bf16", "apply_bf16_weights")
+_ALL_KEYS = ("apply_fused", "train_convae", "train_unet", "apply_unet_fused",
+             "apply_unet", "apply_xla_high", "apply_bf16",
+             "apply_bf16_weights")
 
 
 def _build_result(rates, torch_stats, elapsed_s):
@@ -558,6 +581,7 @@ def _build_result(rates, torch_stats, elapsed_s):
         "apply_bf16_weights": "bf16_weights_fast_path_images_per_sec",
         "train_convae": "train_convae_images_per_sec",
         "train_unet": "train_unet_images_per_sec",
+        "apply_unet_fused": "apply_unet_fused_images_per_sec",
         "apply_unet": "apply_unet_images_per_sec",
     }
     for key, name in names.items():

@@ -159,9 +159,44 @@ class UNET(BaseModel):
         )
         return out, {"encoder": enc_s, "decoder": dec_s}
 
+    def _use_fused_decoder(self):
+        """Fused Pallas tail on the apply path (TPU default; the skip-free
+        trailing decoder stages carry ~95% of the apply HBM traffic).
+        ``CAE_TPU_FUSED_DECODER=1|0`` overrides; geometry must satisfy
+        ``decoder_kernel.unet_tail_start_index``."""
+        choice = os.environ.get("CAE_TPU_FUSED_DECODER")
+        if choice is not None and choice != "1":
+            return False
+        if choice is None and jax.default_backend() != "tpu":
+            return False
+        from ..ops.pallas.decoder_kernel import unet_tail_start_index
+
+        return (
+            self.decoder is not None
+            and unet_tail_start_index(self.decoder) is not None
+        )
+
+    def _unet_core_eval(self, params, state, x):
+        """Eval-mode encoder+decoder forward; fused tail when it applies."""
+        (z, skips), _ = self.encoder.apply(
+            params["encoder"], state["encoder"], x, train=False
+        )
+        if self._use_fused_decoder():
+            from ..ops.pallas.decoder_kernel import (
+                unet_decoder_apply_fused_tail,
+            )
+
+            return unet_decoder_apply_fused_tail(
+                self.decoder, params["decoder"], state["decoder"], z, skips,
+                interpret=jax.default_backend() != "tpu",
+            )
+        out, _ = self.decoder.apply(
+            params["decoder"], state["decoder"], z, skips, train=False
+        )
+        return out
+
     def _forward_eval_p(self, params, state, x):
-        y, _ = self._net_apply(params, state, x, train=False)
-        return y
+        return self._unet_core_eval(params, state, x)
 
     def _make_content_loss(self):
         """Content-loss term on a network output: masked MSE + Pearson
@@ -525,16 +560,25 @@ class UNETRes(UNET):
         # zero-ish residual start: initial output ~= the upsampled base
         self.params["res_scale"] = jnp.asarray(0.01, jnp.float32)
 
-    def _net_apply(self, params, state, x, train, rng=None):
+    def _residual_head(self, params, x, out):
+        """base(bilinear-up, 1x1-projected input) + res_scale * out."""
         from ..ops.convops import conv2d
 
-        out, new_state = super()._net_apply(params, state, x, train, rng=rng)
         _, oy, ox = self.output_shape
         up = jax.image.resize(
             x, (x.shape[0], oy, ox, x.shape[3]), method="bilinear"
         )
         base = conv2d(up, params["base_proj"]["w"]) + params["base_proj"]["b"]
-        return base + params["res_scale"] * out, new_state
+        return base + params["res_scale"] * out
+
+    def _net_apply(self, params, state, x, train, rng=None):
+        out, new_state = super()._net_apply(params, state, x, train, rng=rng)
+        return self._residual_head(params, x, out), new_state
+
+    def _forward_eval_p(self, params, state, x):
+        # fused-tail-capable core (linear final act), then the residual head
+        out = self._unet_core_eval(params, state, x)
+        return self._residual_head(params, x, out)
 
     def save(self, to_folder):
         super().save(to_folder)

@@ -492,8 +492,12 @@ class PerceptualFeatureLoss:
     3. torchvision VGG19 pretrained features, when importable — conv
        weights of ``vgg19.features[:9]`` converted OIHW→HWIO, max-pools
        folded into the stride of the following conv;
-    4. fallback: a fixed *random* strided conv pyramid (random-weight VGG
-       variants are a documented effective perceptual metric).
+    4. the packaged deterministic bank (``nn/data/perceptual_bank.npz``:
+       a V1-style oriented-edge/Laplacian/DoG first layer + fixed seeded
+       random pyramid) — the offline default, reproducible run-to-run;
+    5. last resort (packaged bank missing): a fixed random strided conv
+       pyramid (random-weight VGG variants are a documented effective
+       perceptual metric).
 
     If the bank's first filter expects more input channels than the data
     has, inputs are channel-tiled (the reference repeats 1→3 channels,
@@ -548,7 +552,16 @@ class PerceptualFeatureLoss:
             if not params:
                 raise ValueError("filter bank has no 'w<i>' arrays")
             return params
-        return self._load_torchvision_vgg19()
+        params = self._load_torchvision_vgg19()
+        if params is not None:
+            return params
+        packaged = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "data", "perceptual_bank.npz",
+        )
+        if os.path.exists(packaged):
+            return self._load_bank(packaged)
+        return None
 
     @staticmethod
     def _load_torchvision_vgg19():  # pragma: no cover - torchvision absent

@@ -241,9 +241,14 @@ def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False):
     return out
 
 
-def fold_tail_params(decoder, params, state, start):
+def fold_tail_params(decoder, params, state, start, final_act="sigmoid"):
     """Fold eval-mode BatchNorm into each tail stage's (w, b); returns
-    (geoms, acts, w_flat, b_flat) ready for the kernel."""
+    (geoms, acts, w_flat, b_flat) ready for the kernel.
+
+    Works for both ``ConvDecoder`` and the skip-free tail of
+    ``UNetDecoder`` — identical params layout (``convs[i]``/``bns[i]``).
+    ``final_act``: "sigmoid" (ConvAE/UNET) or "linear" (UNETRes residual
+    head, ``final_sigmoid=False``)."""
     layers = decoder.layers
     n_layers = len(layers)
     geoms = []
@@ -271,7 +276,7 @@ def fold_tail_params(decoder, params, state, start):
             ].astype(jnp.float32)
             acts.append("relu")
         else:
-            acts.append("sigmoid")
+            acts.append(final_act)
         geoms.append((int(k_h), int(k_w), cin, cout, i_hh, i_ww, o_h, o_w))
         w_parts.append(w.reshape(-1))
         b_parts.append(b.reshape(-1))
@@ -352,6 +357,116 @@ def decoder_apply_fused_tail(
 
     geoms, acts, w_flat, b_flat = fold_tail_params(
         decoder, params, state, start
+    )
+    x_nchw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
+    out = _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret)
+    return jnp.transpose(out, (0, 2, 3, 1))  # NCHW -> NHWC
+
+
+# --------------------------------------------------------------------------
+# UNET-family tail (unet.py:114-163 decoder stack, skip-free trailing stages)
+# --------------------------------------------------------------------------
+
+def _unet_stage_has_skip(decoder, i) -> bool:
+    n_layers = len(decoder.layers)
+    if i == n_layers - 1:
+        return False
+    if decoder.compat_concat:
+        return i < len(decoder.skip_shapes)
+    si, _ = decoder._stage_skip(i)
+    return si is not None
+
+
+def unet_tail_start_index(decoder) -> int | None:
+    """First ``UNetDecoder`` stage from which the fused tail applies.
+
+    Per-stage rules beyond the ConvAE ones (``tail_start_index``): the
+    stage must not consume a skip (attention-gated concat stages,
+    ``unet.py:155-161``, are not expressible in the kernel) and must have
+    zero conv padding (the reference passes spec.output_padding as ConvT
+    *padding*, ``unet.py:140``; auto specs have 0).  For the flagship
+    16x16->256x256 auto spec the only skip lands at 7x7, so every stage
+    from 15x15 up fuses — the ~95%-of-HBM-traffic tail."""
+    layers = decoder.layers
+    if not layers:
+        return None
+    o_c, o_hh, o_ww = layers[-1].get_output_dimensions()
+    if o_hh * o_ww > _MAX_OUT_PIXELS:
+        return None
+    start = None
+    for i, spec in enumerate(layers):
+        k_h, k_w = spec.kernel_hw
+        ok = (
+            spec.get_stride() == 2
+            and tuple(spec.output_padding_hw) == (0, 0)
+            and max(int(k_h), int(k_w)) <= _MAX_K
+            and int(spec.get_input_dimensions()[0]) <= _MAX_TAIL_CIN
+            and not _unet_stage_has_skip(decoder, i)
+        )
+        if ok:
+            if start is None:
+                start = i
+        else:
+            start = None
+    return start
+
+
+def unet_decoder_apply_fused_tail(
+    decoder, params, state, z, skips, start=None, interpret=False
+):
+    """Eval-mode ``UNetDecoder.apply`` with the skip-free tail fused.
+
+    Head stages (FC pyramid + skip-consuming stages) replicate
+    ``UNetDecoder.apply(train=False)`` exactly (dropout is a no-op in
+    eval); the tail runs in the Pallas kernel with folded BatchNorm.
+    Bit-compatible to f32 rounding, same contract as the ConvAE twin."""
+    if start is None:
+        start = unet_tail_start_index(decoder)
+    assert start is not None, "unsupported UNET decoder geometry for fused tail"
+
+    from ...nn.modules import bn_apply, channel_attention_apply
+    from ...ops.convops import conv2d, conv_transpose2d, dense
+
+    c, y, x = decoder.unflat_dims
+    h = dense(z, params["fc1"]["w"], params["fc1"]["b"])
+    h, _ = bn_apply(params["fc_bn"], state["fc_bn"], h, False, axes=(0,))
+    h = jax.nn.relu(h)
+    h = jax.nn.relu(dense(h, params["fc2"]["w"], params["fc2"]["b"]))
+    h = h.reshape(h.shape[0], y, x, c)
+
+    n_layers = len(decoder.layers)
+    skips_rev = list(skips)[::-1]
+    for i in range(start):
+        spec = decoder.layers[i]
+        cp = params["convs"][i]
+        pad = spec.output_padding_hw
+        h = conv_transpose2d(
+            h, cp["w"], stride=spec.get_stride(), padding=pad
+        ) + cp["b"]
+        if i != n_layers - 1:
+            if decoder.compat_concat:
+                if params["attn"][i] is not None:
+                    gate = channel_attention_apply(params["attn"][i], h)
+                    h = h * gate
+                    h = jnp.concatenate([h, skips_rev[i]], axis=-1)
+            elif params["attn"][i] is not None:
+                si, _ = decoder._stage_skip(i)
+                skip = skips[si]
+                gate = channel_attention_apply(params["attn"][i], h)
+                h = h * gate
+                sp = params["skip_proj"][i]
+                skip = conv2d(skip, sp["w"]) + sp["b"]
+                h = jnp.concatenate([h, skip], axis=-1)
+                fp = params["fuse"][i]
+                h = conv2d(h, fp["w"]) + fp["b"]
+            h, _ = bn_apply(
+                params["bns"][i], state["bns"][i], h, False, axes=(0, 1, 2)
+            )
+            h = jax.nn.relu(h)
+
+    final_act = "sigmoid" if decoder.final_sigmoid else "linear"
+    geoms, acts, w_flat, b_flat = fold_tail_params(
+        decoder, params, state, start, final_act=final_act
     )
     x_nchw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
     out = _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret)

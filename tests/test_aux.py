@@ -292,3 +292,44 @@ def test_masked_pearson_empty_mask_rows_are_zero_not_nan():
     # real rows unchanged vs an all-ones mask
     full = L.masked_pearson(pred[:2], targ[:2], mask[:2])
     np.testing.assert_allclose(np.asarray(corr[:2]), np.asarray(full), atol=1e-6)
+
+
+def test_perceptual_default_uses_packaged_bank(monkeypatch):
+    """Offline default: the checked-in deterministic filter bank loads
+    (NOT the random pyramid), so --additional-loss perceptual is
+    reproducible without network access.  torchvision is absent here, so
+    the VGG19 path cannot shadow it."""
+    import os
+
+    import numpy as np
+
+    from cae_tools_tpu.nn.modules import PerceptualFeatureLoss
+
+    monkeypatch.delenv("CAE_TPU_PERCEPTUAL_BANK", raising=False)
+    pl = PerceptualFeatureLoss()
+    params = pl.init(in_channels=1)
+
+    bank_path = os.path.join(
+        os.path.dirname(os.path.abspath(__import__("cae_tools_tpu.nn.modules", fromlist=["x"]).__file__)),
+        "data", "perceptual_bank.npz",
+    )
+    bank = dict(np.load(bank_path))
+    assert len(params) == 3
+    # bank filters, byte-identical — not a fresh random draw
+    np.testing.assert_array_equal(np.asarray(params[0]["w"]), bank["w0"])
+    np.testing.assert_array_equal(np.asarray(params[2]["w"]), bank["w2"])
+    assert params[0]["stride"] == 2
+
+    # two independent inits agree exactly (reproducibility contract)
+    params2 = PerceptualFeatureLoss().init(in_channels=1)
+    np.testing.assert_array_equal(
+        np.asarray(params[1]["w"]), np.asarray(params2[1]["w"])
+    )
+
+    # and the loss runs on 1-channel data via channel tiling
+    import jax.numpy as jnp
+
+    x = jnp.ones((2, 32, 32, 1), jnp.float32)
+    y = jnp.zeros((2, 32, 32, 1), jnp.float32)
+    val = float(pl.loss(params, x, y))
+    assert np.isfinite(val) and val > 0

@@ -125,3 +125,119 @@ def test_model_predict_uses_fused_path(monkeypatch, tmp_path_factory):
     assert mt._use_fused_decoder()
     out = mt._predict_normalised(x)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+
+def _unet_modules(in_size=(16, 16), out_size=(256, 256), latent=16, fc=32,
+                  final_sigmoid=True, seed=0):
+    spec = create_model_spec(
+        input_size=in_size, input_channels=1,
+        output_size=out_size, output_channels=1,
+    )
+    enc = M.UNetEncoder(spec.input_layers, latent, fc, dropout_rate=0.1)
+    skip_shapes = [
+        tuple(l.get_output_dimensions()) for l in spec.input_layers[:-1]
+    ]
+    dec = M.UNetDecoder(
+        spec.output_layers, latent, fc, dropout_rate=0.1,
+        skip_shapes=skip_shapes, final_sigmoid=final_sigmoid,
+    )
+    ep, es = enc.init(jax.random.PRNGKey(seed))
+    dp, ds = dec.init(jax.random.PRNGKey(seed + 1))
+    # non-trivial BN running stats so the folding is exercised
+    rng = np.random.default_rng(seed)
+
+    def jitter(a):
+        if a.dtype == jnp.float32:
+            return a + 0.3 * jnp.asarray(
+                np.abs(rng.normal(size=a.shape)).astype(np.float32)
+            )
+        return a
+
+    ds = jax.tree_util.tree_map(jitter, ds)
+    return enc, (ep, es), dec, (dp, ds)
+
+
+@pytest.mark.parametrize("final_sigmoid", [True, False])
+def test_unet_fused_tail_matches_xla_decoder(final_sigmoid):
+    """UNET-family fused tail (skip-free trailing stages) vs XLA, both
+    the sigmoid head (UNET) and the linear residual head (UNETRes)."""
+    from cae_tools_tpu.ops.pallas.decoder_kernel import (
+        unet_decoder_apply_fused_tail,
+        unet_tail_start_index,
+    )
+
+    convops.set_precision("highest")
+    try:
+        enc, (ep, es), dec, (dp, ds) = _unet_modules(
+            final_sigmoid=final_sigmoid
+        )
+        start = unet_tail_start_index(dec)
+        assert start is not None
+        x = jnp.asarray(
+            np.random.default_rng(2).random((2, 16, 16, 1), np.float32)
+        )
+        (z, skips), _ = enc.apply(ep, es, x, train=False)
+        ref, _ = dec.apply(dp, ds, z, skips, train=False)
+        out = unet_decoder_apply_fused_tail(
+            dec, dp, ds, z, skips, interpret=True
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=0
+        )
+    finally:
+        convops.set_precision("high")
+
+
+def test_unet_tail_rejects_skip_stages():
+    """Stages that consume a skip are never part of the fused tail."""
+    from cae_tools_tpu.ops.pallas.decoder_kernel import (
+        _unet_stage_has_skip,
+        unet_tail_start_index,
+    )
+
+    enc, _, dec, _ = _unet_modules()
+    start = unet_tail_start_index(dec)
+    assert start is not None
+    assert all(
+        not _unet_stage_has_skip(dec, i)
+        for i in range(start, len(dec.layers))
+    )
+    # at least one earlier stage does consume a skip in this geometry
+    assert any(_unet_stage_has_skip(dec, i) for i in range(start))
+
+
+def test_unetres_model_fused_apply_parity(monkeypatch):
+    """UNETRes._forward_eval_p with the fused tail forced on matches the
+    pure-XLA forward (residual head applied outside the kernel)."""
+    from cae_tools_tpu.models.unet_model import UNETRes
+
+    mt = UNETRes.__new__(UNETRes)  # bypass ctor; set what the path needs
+    mt.input_shape = (1, 16, 16)
+    mt.output_shape = (1, 256, 256)
+    mt.encoded_dim_size = 16
+    mt.fc_size = 32
+    enc, (ep, es), dec, (dp, ds) = _unet_modules(final_sigmoid=False)
+    mt.encoder, mt.decoder = enc, dec
+    import jax as _jax
+
+    mt.params = {
+        "encoder": ep, "decoder": dp,
+        "base_proj": {
+            "w": jnp.full((1, 1, 1, 1), 1.0, jnp.float32),
+            "b": jnp.zeros((1,), jnp.float32),
+        },
+        "res_scale": jnp.asarray(0.01, jnp.float32),
+    }
+    mt.state = {"encoder": es, "decoder": ds}
+
+    x = jnp.asarray(
+        np.random.default_rng(5).random((2, 16, 16, 1), np.float32)
+    )
+    monkeypatch.setenv("CAE_TPU_FUSED_DECODER", "0")
+    ref = mt._forward_eval_p(mt.params, mt.state, x)
+    monkeypatch.setenv("CAE_TPU_FUSED_DECODER", "1")
+    out = mt._forward_eval_p(mt.params, mt.state, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=0
+    )

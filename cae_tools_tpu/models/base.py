@@ -268,6 +268,8 @@ class BaseModel:
                 yb = yb.astype(jnp.float32)
                 yb = lo + yb * (hi - lo)
                 yb = yb.reshape((n_pad,) + yb.shape[2:])
+                if yb.shape[-1] == 1:  # NHWC -> NCHW is a free reshape
+                    return yb.reshape(yb.shape[0], 1, yb.shape[1], yb.shape[2])
                 return jnp.transpose(yb, (0, 3, 1, 2))
 
             self._apply_cache[key] = run

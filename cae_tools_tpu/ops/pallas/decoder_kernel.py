@@ -360,7 +360,17 @@ def decoder_apply_fused_tail(
     )
     x_nchw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
     out = _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret)
-    return jnp.transpose(out, (0, 2, 3, 1))  # NCHW -> NHWC
+    return _nchw_to_nhwc(out)
+
+
+def _nchw_to_nhwc(out):
+    """NCHW -> NHWC; for C == 1 a reshape (free) instead of a transpose —
+    profiler traces showed the materialised copy of the full-resolution
+    output costing ~15% of apply device time."""
+    n, c, h, w = out.shape
+    if c == 1:
+        return out.reshape(n, h, w, 1)
+    return jnp.transpose(out, (0, 2, 3, 1))
 
 
 # --------------------------------------------------------------------------
@@ -470,4 +480,4 @@ def unet_decoder_apply_fused_tail(
     )
     x_nchw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
     out = _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret)
-    return jnp.transpose(out, (0, 2, 3, 1))  # NCHW -> NHWC
+    return _nchw_to_nhwc(out)

@@ -24,6 +24,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
+# Persistent XLA compile cache: the suite compiles many *identical* train/
+# apply graphs from different closures (per-Trainer jit functions defeat
+# the in-memory cache); the disk cache is keyed by HLO hash, so it dedupes
+# them within one run and makes repeat runs start warm.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pathlib
 import sys
 

@@ -142,3 +142,90 @@ def test_model_level_checkpoint_resume(tmp_path, circle_data):
     mt2.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
     assert latest_step(folder) == 20
     assert mt2.history["test_loss"][-1] < first_run_last
+
+
+def test_streaming_trainer_checkpoint_resume(tmp_path):
+    """StreamingTrainer: periodic orbax snapshots + exact resume."""
+    from cae_tools_tpu.train.loop import TrainConfig
+    from cae_tools_tpu.train.stream import StreamingTrainer
+
+    folder = str(tmp_path / "stream")
+    data = _tiny_data()
+    params = {
+        "w": jnp.zeros((4, 4), jnp.float32),
+        "b": jnp.zeros((4,), jnp.float32),
+    }
+    cfg = TrainConfig(batch_size=8, nr_epochs=4, test_interval=2, lr=0.05)
+    t1 = StreamingTrainer(_tiny_loss_fn(), cfg)
+    t1.checkpoint_folder = folder
+    t1.checkpoint_interval = 2
+    _, _, _, last1 = t1.fit(
+        params, {}, data, data, {"train_loss": [], "test_loss": []}
+    )
+    assert latest_step(folder) == 4
+    snap = restore_checkpoint(folder)
+    assert any(
+        float(np.abs(np.asarray(l)).max()) > 0
+        for l in jax.tree_util.tree_leaves(snap["opt_state"])
+    )
+
+    t2 = StreamingTrainer(_tiny_loss_fn(), cfg)
+    t2.checkpoint_folder = folder
+    t2.checkpoint_interval = 2
+    t2.resume = True
+    _, _, _, last2 = t2.fit(
+        params, {}, data, data, {"train_loss": [], "test_loss": []}
+    )
+    assert latest_step(folder) == 8
+    assert last2 < last1
+
+
+def test_gan_trainer_checkpoint_resume(tmp_path):
+    """GANTrainer snapshots carry the critic (d_params/d_opt) and resume
+    continues both players."""
+    import os
+
+    from cae_tools_tpu.models.resunet_gan import ResUNetGAN
+    from cae_tools_tpu.xrcompat import xr
+
+    # data geometry AND model config match
+    # test_res_models.test_resunet_gan_lifecycle exactly (8x8 -> 32x32,
+    # n=12) so the persistent compile cache (tests/.jax_cache) dedupes the
+    # GAN train-graph compile across the two modules; the WGAN-GP
+    # double-grad graph at the circle fixture's 256x256 takes >10 min to
+    # compile cold on the single-core CPU host
+    rng = np.random.default_rng(31)
+    dss = {}
+    for name in ("train", "test"):
+        n = 12
+        hi = 288.0 + rng.random((n, 1, 32, 32)).astype(np.float32) * 5.0
+        lo = hi.reshape(n, 1, 8, 4, 8, 4).mean(axis=(3, 5))
+        ds = xr.Dataset()
+        ds["hires"] = xr.DataArray(hi, dims=("n", "chan", "y2", "x2"))
+        ds["lowres"] = xr.DataArray(lo, dims=("n", "chan", "y1", "x1"))
+        dss[name] = ds
+    train_ds, test_ds = dss["train"], dss["test"]
+    folder = str(tmp_path / "gan")
+
+    mt = ResUNetGAN(
+        batch_size=6, nr_epochs=4, test_interval=2,
+        encoded_dim_size=4, fc_size=16,
+        lambda_adv=1e-3, lambda_gp=10.0, n_critic=2,
+    )
+    mt.checkpoint_interval = 2
+    mt.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert latest_step(folder) == 4
+    snap = restore_checkpoint(folder)
+    assert "d_params" in snap and "d_opt" in snap
+    w_after_first = jax.tree_util.tree_leaves(snap["params"])[0]
+
+    mt2 = ResUNetGAN()
+    mt2.load(folder)
+    mt2.nr_epochs = 4
+    mt2.checkpoint_interval = 2
+    mt2.resume_from_checkpoint = True
+    mt2.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert latest_step(folder) == 8
+    snap2 = restore_checkpoint(folder)
+    w_after_second = jax.tree_util.tree_leaves(snap2["params"])[0]
+    assert not np.allclose(np.asarray(w_after_first), np.asarray(w_after_second))

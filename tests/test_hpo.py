@@ -79,13 +79,16 @@ def test_vmap_trials_mesh_parallel(data):
     from cae_tools_tpu.parallel.mesh import get_mesh
     from cae_tools_tpu.xrcompat import xr
 
-    ds = xr.open_dataset(os.path.join(data, "train.nc"))
-    from cae_tools_tpu.data.dataset import ArrayDataset
+    # tiny geometry: the vmapped-trials machinery (trial-axis sharding,
+    # padding, per-trial hyperparams) is identical at any size, and the
+    # 16x16->256x256 weight vmapped over 8 trials took minutes to compile
+    rng = np.random.default_rng(0)
+    x = rng.random((20, 8, 8, 1)).astype(np.float32)
+    y = rng.random((20, 32, 32, 1)).astype(np.float32)
+    # make y linearly predictable from x so sensible lrs separate cleanly
+    y = 0.5 * y + 0.5 * np.repeat(np.repeat(x, 4, axis=1), 4, axis=2)
 
-    ads = ArrayDataset(ds, ["lowres"], "hires")
-    x, y, _ = ads.arrays_nhwc()
-
-    lin = M.LinearMap((1, 16, 16), (1, 256, 256))
+    lin = M.LinearMap((1, 8, 8), (1, 32, 32))
 
     def loss_fn(params, state, rng, batch, train):
         out, _ = lin.apply(params, state, batch["x"], train)
@@ -335,7 +338,31 @@ def test_hpo_gan_space(tmp_path):
     assert abs(mt.lambda_gp - best_params["lambda_gp"]) < 1e-12
 
 
-def test_hpo_vmap_mode(data, tmp_path):
+@pytest.fixture(scope="module")
+def small_data(tmp_path_factory):
+    """8x8 -> 32x32 circle fixture: the vmap-mode driver vmaps the whole
+    train loop over a trials axis, so the 16x16->256x256 LinearModel
+    (16.7M-param weight x trials) is needlessly slow to compile here."""
+    import random
+
+    from cae_tools_tpu.data.datagen import DataGenerator
+    from cae_tools_tpu.xrcompat import xr
+
+    root = tmp_path_factory.mktemp("hposmall")
+    paths = {}
+    for name, seed in (("train", 0), ("test", 1)):
+        dg = DataGenerator((8, 8), (32, 32), "circle", rng=random.Random(seed))
+        in_da, out_da, _aux = dg.generate_data(10)
+        ds = xr.Dataset()
+        ds["hires"] = out_da
+        ds["lowres"] = in_da
+        p = str(root / f"{name}.nc")
+        ds.to_netcdf(p)
+        paths[name] = p
+    return paths
+
+
+def test_hpo_vmap_mode(small_data, tmp_path):
     """--mode vmap: all trials trained simultaneously on the mesh, results
     recorded like any other mode, and the winning trial saved as a
     loadable model folder."""
@@ -350,8 +377,8 @@ def test_hpo_vmap_mode(data, tmp_path):
     }
     log_path = str(tmp_path / "vmap.jsonl")
     opt = HyperOptimizer(
-        train_inputs=[os.path.join(data, "train.nc")],
-        test_inputs=[os.path.join(data, "test.nc")],
+        train_inputs=[small_data["train"]],
+        test_inputs=[small_data["test"]],
         input_variables=["lowres"],
         output_variable="hires",
         work_folder=str(tmp_path / "trials"),
@@ -378,12 +405,12 @@ def test_hpo_vmap_mode(data, tmp_path):
     assert os.path.isdir(best_folder)
     mt = LinearModel()
     mt.load(best_folder)
-    score = xr.open_dataset(os.path.join(data, "test.nc"))
+    score = xr.open_dataset(small_data["test"])
     mt.apply(score, ["lowres"], "prediction")
     assert np.isfinite(np.asarray(score["prediction"].values)).all()
 
 
-def test_hpo_vmap_mode_cli(data, tmp_path):
+def test_hpo_vmap_mode_cli(small_data, tmp_path):
     """python -m cae_tools_tpu.hpo --mode vmap end to end."""
     import io
     from contextlib import redirect_stdout
@@ -393,8 +420,8 @@ def test_hpo_vmap_mode_cli(data, tmp_path):
     buf = io.StringIO()
     with redirect_stdout(buf):
         main([
-            "--train-inputs", os.path.join(data, "train.nc"),
-            "--test-inputs", os.path.join(data, "test.nc"),
+            "--train-inputs", small_data["train"],
+            "--test-inputs", small_data["test"],
             "--input-variables", "lowres",
             "--output-variable", "hires",
             "--work-folder", str(tmp_path / "w"),

@@ -485,7 +485,7 @@ def measure_one(metric: str) -> dict:
         return {"train_unet": unet_ips}
     if metric in ("apply_unet", "apply_unet_fused"):
         convops.set_precision("high")
-        ub = min(128, _BATCH)
+        ub = min(8192, _BATCH)
         forward, x = build_jax_unet_forward(
             ub, fused_tail=metric == "apply_unet_fused"
         )
@@ -573,7 +573,7 @@ def _build_result(rates, torch_stats, elapsed_s):
         "batch": _BATCH,
         "train_batch": _TRAIN_BATCH,
         "train_unet_batch": _UNET_BATCH,
-        "apply_unet_batch": min(128, _BATCH),
+        "apply_unet_batch": min(8192, _BATCH),
         "train_convae_torch_cpu_images_per_sec": round(torch_train_ips, 2),
         "train_convae_torch_cpu_spread": round(torch_train_spread, 3),
         "elapsed_s": round(elapsed_s, 1),

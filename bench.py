@@ -51,7 +51,8 @@ from functools import partial
 
 import numpy as np
 
-TORCH_ITERS = 20  # hardened baseline: fixed iteration count, variance reported
+# hardened baseline: fixed iteration count, variance reported
+TORCH_ITERS = int(os.environ.get("CAE_BENCH_TORCH_ITERS", "20"))
 # smoke-test overrides (CPU CI); the driver runs defaults on TPU.
 # Batch 8192 amortizes the tunnel's ~3 ms/call dispatch to <7% of the
 # fused apply's device time (measured scaling: 79k img/s @512, 114k
@@ -224,6 +225,71 @@ def build_jax_unet_train(batch, k_steps):
         mse = L.masked_mse(out, y, mask)
         corr = jnp.mean(L.masked_pearson(out, y, mask))
         return mse + (1.0 - corr), {"e": es2, "d": ds2}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(carry, rng, x, y):
+        def step_fn(c, r):
+            params, state, opt_state = c
+            (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, state, r, x, y
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, state, opt_state), loss
+
+        carry, losses = jax.lax.scan(
+            step_fn, carry, jax.random.split(rng, k_steps)
+        )
+        return carry, losses[-1]
+
+    nprng = np.random.default_rng(0)
+    x = jnp.asarray(nprng.random((batch, 16, 16, 1), dtype=np.float32))
+    y = jnp.asarray(nprng.random((batch, 256, 256, 1), dtype=np.float32))
+    return run, (params, state, opt_state), (x, y)
+
+
+def build_jax_varae_train(batch, k_steps):
+    """K VarAE train steps per ``lax.scan`` dispatch.
+
+    The reference's VAE method (rebuilt per SURVEY §2.11; loss contract
+    lambda_mse*MSE + lambda_kl*KL + lambda_ssim*(1 - MS-SSIM)).  On TPU
+    the MS-SSIM value+grad runs in the fused Pallas kernels
+    (``ops/pallas/msssim_kernel.py``) — this metric is the
+    driver-recordable evidence for them."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cae_tools_tpu.nn import modules as M
+    from cae_tools_tpu.ops import msssim as msssim_ops
+
+    spec = _spec()
+    enc = M.VarAEEncoder(spec.input_layers, _LATENT, _FC)
+    dec = M.ConvDecoder(spec.output_layers, _LATENT, _FC)
+    ep, es = enc.init(jax.random.PRNGKey(0))
+    dp, ds = dec.init(jax.random.PRNGKey(1))
+    params = {"e": ep, "d": dp}
+    state = {"e": es, "d": ds}
+    tx = optax.chain(optax.add_decayed_weights(1e-5), optax.adam(1e-3))
+    opt_state = tx.init(params)
+
+    if jax.default_backend() == "tpu":
+        from cae_tools_tpu.ops.pallas import msssim_pallas as _msssim_fn
+    else:
+        _msssim_fn = msssim_ops.msssim
+
+    def loss_fn(params, state, rng, x, y):
+        (mu, logvar), es2 = enc.apply(params["e"], state["e"], x, True)
+        z = M.reparameterize(rng, mu, logvar)
+        out, ds2 = dec.apply(params["d"], state["d"], z, True)
+        mse = jnp.mean((out - y) ** 2)
+        kl = jnp.mean(
+            -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
+        )
+        ssim = jnp.mean(
+            _msssim_fn(out, y, data_range=1.0, average=False)
+        )
+        return mse + kl + (1.0 - ssim), {"e": es2, "d": ds2}
 
     @partial(jax.jit, donate_argnums=(0,))
     def run(carry, rng, x, y):
@@ -446,12 +512,17 @@ def _spec():
 #: fast-step metrics; each runs as the FIRST executable of its own process
 #: (see docstring), as (precision, builder kwargs) apply variants or trains
 _LATENT, _FC = 32, 128
-# <=64: larger training graphs OOM the remote-compile helper, and the
-# batch-128 HIGH train graph takes ~775s to remote-compile (its earlier
-# "213k img/s" per-step reading was a donation-memoization artifact and is
-# retracted — see BASELINE.md)
-_TRAIN_BATCH = min(64, _BATCH)
-_UNET_BATCH = min(32, _BATCH)
+# Train batches: occupancy-bound regime, so larger batch is ~free
+# throughput (measured scaling, img/s: ConvAE 15-19k @b64 -> 29.9k @b128
+# -> 34.0k @b256; UNET 7-9k @b32 -> 13.0k @b64 -> 21.2k @b128).  The
+# large scan graphs cost 800-1500 s to remote-compile COLD but live in
+# the persistent cache (.jax_cache/), so the per-metric slice only has
+# to cover a cache hit — which is already true of the b64 graphs too.
+# (The round-2 b128 "213k img/s" per-step reading was a
+# donation-memoization artifact and is retracted — see BASELINE.md.)
+_TRAIN_BATCH = min(256, _BATCH)
+_UNET_BATCH = min(128, _BATCH)
+_VARAE_BATCH = min(64, _BATCH)
 #: steps per timed scan dispatch for the train metrics
 _TRAIN_SCAN_STEPS = int(os.environ.get("CAE_BENCH_SCAN_STEPS", "64"))
 
@@ -483,6 +554,12 @@ def measure_one(metric: str) -> dict:
         urun, ucarry, udata = build_jax_unet_train(_UNET_BATCH, k)
         unet_ips = _UNET_BATCH / time_jax_train_scan(urun, ucarry, udata, k)
         return {"train_unet": unet_ips}
+    if metric == "train_varae":
+        convops.set_precision("high")
+        k = _TRAIN_SCAN_STEPS
+        vrun, vcarry, vdata = build_jax_varae_train(_VARAE_BATCH, k)
+        varae_ips = _VARAE_BATCH / time_jax_train_scan(vrun, vcarry, vdata, k)
+        return {"train_varae": varae_ips}
     if metric in ("apply_unet", "apply_unet_fused"):
         convops.set_precision("high")
         ub = min(8192, _BATCH)
@@ -544,11 +621,12 @@ _METRICS = (
     "apply_unet_fused",  # UNET product-default apply (fused Pallas tail)
     "apply_unet",        # UNET pure-XLA apply (the fused tail's baseline)
     "train_unet",
+    "train_varae",    # Pallas MS-SSIM value+grad in the loss
     "apply_bf16",
     "apply_bf16_weights",
 )
-_ALL_KEYS = ("apply_fused", "train_convae", "train_unet", "apply_unet_fused",
-             "apply_unet", "apply_xla_high", "apply_bf16",
+_ALL_KEYS = ("apply_fused", "train_convae", "train_unet", "train_varae",
+             "apply_unet_fused", "apply_unet", "apply_xla_high", "apply_bf16",
              "apply_bf16_weights")
 
 
@@ -573,6 +651,7 @@ def _build_result(rates, torch_stats, elapsed_s):
         "batch": _BATCH,
         "train_batch": _TRAIN_BATCH,
         "train_unet_batch": _UNET_BATCH,
+        "train_varae_batch": _VARAE_BATCH,
         "apply_unet_batch": min(8192, _BATCH),
         "train_convae_torch_cpu_images_per_sec": round(torch_train_ips, 2),
         "train_convae_torch_cpu_spread": round(torch_train_spread, 3),
@@ -585,6 +664,7 @@ def _build_result(rates, torch_stats, elapsed_s):
         "apply_bf16_weights": "bf16_weights_fast_path_images_per_sec",
         "train_convae": "train_convae_images_per_sec",
         "train_unet": "train_unet_images_per_sec",
+        "train_varae": "train_varae_images_per_sec",
         "apply_unet_fused": "apply_unet_fused_images_per_sec",
         "apply_unet": "apply_unet_images_per_sec",
     }

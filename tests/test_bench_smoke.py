@@ -1,0 +1,49 @@
+"""Smoke test for the driver-facing benchmark harness.
+
+``bench.py`` is the round's performance evidence: the driver runs it
+headless at the end of every round and records the LAST printed JSON
+line.  A syntax error, a renamed key, or a budget-logic regression would
+otherwise only surface in that unattended run (see BENCH_r02: rc=124,
+nothing recorded).  This test runs the real harness end-to-end on CPU
+with tiny shapes/iters and asserts the printed record's contract.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def test_bench_emits_parseable_headline_record():
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        CAE_BENCH_BATCH="8",
+        CAE_BENCH_ITERS="2",
+        CAE_BENCH_TORCH_ITERS="2",
+        CAE_BENCH_SCAN_STEPS="2",
+        # budget small: headline + train metrics only, rest -> "skipped"
+        CAE_BENCH_BUDGET_S="240",
+        CAE_BENCH_HEADLINE_CAP_S="120",
+        CAE_BENCH_METRIC_CAP_S="60",
+    )
+    out = subprocess.run(
+        [sys.executable, BENCH], env=env, text=True, timeout=420,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+    )
+    assert out.returncode == 0
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines, out.stdout
+    for line in lines:  # every emitted line must be a complete record
+        rec = json.loads(line)
+        assert rec["metric"] == "apply_convae_16x16_to_256x256_images_per_sec"
+        assert rec["unit"] == "images/sec"
+        assert isinstance(rec["skipped"], list)
+    final = json.loads(lines[-1])
+    assert final["value"] > 0, final
+    assert final["headline_path"] in ("fused_pallas_tail", "xla_high")
+    assert final["baseline_torch_cpu_images_per_sec"] > 0
+    assert final["vs_baseline"] > 0

@@ -29,6 +29,12 @@ from ..data.dataset import ArrayDataset
 from ..xrcompat import xr
 from .metrics import ModelMetric
 
+#: auto per-dispatch apply batch on TPU (see BaseModel.apply_chunk_size);
+#: 512 is past the occupancy knee for the flagship geometries (measured
+#: scaling in BASELINE.md "Batch scaling") while keeping per-chunk
+#: activations ~100s of MB.  CAE_TPU_APPLY_CHUNK overrides.
+_AUTO_APPLY_CHUNK = int(os.environ.get("CAE_TPU_APPLY_CHUNK", "512"))
+
 
 class BaseModel:
     def __init__(self):
@@ -36,6 +42,14 @@ class BaseModel:
         self.output_spec = None
         self.model_id = str(uuid.uuid4())
         self.mesh = None  # optional jax.sharding.Mesh for multi-chip runs
+        #: per-dispatch batch of the apply ``lax.map`` (None = auto).  The
+        #: reference scores with the *training* batch size
+        #: (``base_model.py:145-152``, default 10) — on TPU such tiny
+        #: per-step batches are occupancy-starved (measured: the flagship
+        #: fused apply runs 33k img/s at b128 vs 187k device-side at
+        #: b512+), so auto picks ``_AUTO_APPLY_CHUNK`` there and keeps
+        #: ``batch_size`` elsewhere (small CPU-test compiles).
+        self.apply_chunk_size = None
         self._apply_cache = {}
 
     # ---- spec accessors (base_model.py:35-61) -----------------------------
@@ -192,7 +206,15 @@ class BaseModel:
 
     def _pad_cases(self, x_np):
         n = x_np.shape[0]
-        bs = max(1, int(self.batch_size))
+        cs = getattr(self, "apply_chunk_size", None)
+        if cs is not None:
+            bs = max(1, int(cs))
+        elif jax.default_backend() == "tpu":
+            # auto: large chunks for occupancy, capped at the case count
+            # (padding is wasted compute)
+            bs = max(1, min(_AUTO_APPLY_CHUNK, n))
+        else:
+            bs = max(1, int(self.batch_size))
         if self.mesh is not None:
             # DP apply: each lax.map step is a batch sharded over the mesh's
             # "data" axis, so the per-chunk batch must divide evenly

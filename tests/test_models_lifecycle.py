@@ -190,3 +190,23 @@ def test_database_tracking(small_circle, tmp_path):
     assert len(evals) == 1
     metrics = json.loads(evals[0][0])
     assert "test" in metrics and "mse" in metrics["test"]
+
+
+def test_apply_chunk_size_is_output_invariant(small_circle):
+    """The apply lax.map chunk is a pure performance knob: predictions
+    must be identical whatever the per-dispatch batch (incl. the padded
+    last chunk), and the auto default must equal an explicit setting."""
+    train_ds = _load(small_circle, "train.nc")
+    test_ds = _load(small_circle, "test.nc")
+    mt = LinearModel(batch_size=6, nr_epochs=4, test_interval=2, lr=0.05)
+    mt.train(["lowres"], "hires", train_ds, test_ds)
+
+    x = np.random.default_rng(0).random((11, 16, 16, 1)).astype(np.float32)
+    ref = mt._predict_normalised(x)  # auto (CPU: batch_size=6, padded)
+    for cs in (1, 3, 11, 64):
+        mt.apply_chunk_size = cs
+        mt._apply_cache = {}
+        out = mt._predict_normalised(x)
+        # different chunk -> different matmul tiling -> f32 rounding only
+        np.testing.assert_allclose(out, ref, atol=1e-5), cs
+    mt.apply_chunk_size = None

@@ -582,11 +582,16 @@ def measure_one(metric: str) -> dict:
 def _run_subprocess(metric: str, timeout_s: float) -> dict:
     """Run one metric in a fresh process with a hard wall-clock slice.
 
-    On timeout the child is killed and any JSON lines it already printed
-    are harvested (the train child prints incrementally), so a stalled
-    second sub-metric cannot take down an already-measured first one."""
+    The child's stdout is read line-by-line as it appears: the moment the
+    requested metric's JSON line lands, the child is killed — a child
+    that measures successfully but then stalls in teardown (observed on
+    the tunnel: result printed, exit hung >250 s) must not burn the rest
+    of its slice.  On timeout the child is killed and whatever JSON lines
+    it already printed are harvested, so a stalled second sub-metric
+    cannot take down an already-measured first one."""
     import subprocess
     import sys
+    import threading
 
     env = dict(os.environ)
     env["CAE_BENCH_ONLY"] = metric
@@ -595,21 +600,34 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
         env=env, text=True,
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
     )
-    try:
-        out, _ = proc.communicate(timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        out, _ = proc.communicate()
+    rates = {}
+    done = threading.Event()
+
+    def reader():
+        try:
+            for line in proc.stdout:
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        rates.update(json.loads(line))
+                    except json.JSONDecodeError:
+                        continue
+                    if metric in rates:
+                        done.set()  # measured: stop paying for teardown
+                        return
+        except Exception:
+            pass
+        finally:
+            done.set()
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    if not done.wait(timeout=timeout_s):
         print(f"# bench: {metric} exceeded {timeout_s:.0f}s slice, killed",
               file=sys.stderr, flush=True)
-    rates = {}
-    for line in (out or "").splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                rates.update(json.loads(line))
-            except json.JSONDecodeError:
-                pass
+    proc.kill()
+    proc.wait()
+    t.join(timeout=5)
     return rates
 
 

@@ -64,7 +64,7 @@ _ITERS = int(os.environ.get("CAE_BENCH_ITERS", "20"))
 _BUDGET_S = float(os.environ.get("CAE_BENCH_BUDGET_S", "900"))
 #: per-subprocess slice caps (headline gets more; it is also retried once)
 _HEADLINE_CAP_S = float(os.environ.get("CAE_BENCH_HEADLINE_CAP_S", "420"))
-_METRIC_CAP_S = float(os.environ.get("CAE_BENCH_METRIC_CAP_S", "300"))
+_METRIC_CAP_S = float(os.environ.get("CAE_BENCH_METRIC_CAP_S", "240"))
 
 
 def _enable_cache():
@@ -728,19 +728,22 @@ def main():
     torch_stats = (torch_ips, torch_spread, torch_train_ips, torch_train_spread)
 
     # ---- TPU metrics, headline first, budget-gated, emit-as-you-go ---------
+    # Two passes: tunnel stalls are transient (a cache-warm child normally
+    # finishes in 60-140 s but occasionally hangs past any cap), so after
+    # the priority sweep any still-missing metric gets a second chance
+    # with whatever budget remains.
     rates = {}
-    for i, metric in enumerate(_METRICS):
-        cap = _HEADLINE_CAP_S if i == 0 else _METRIC_CAP_S
-        attempts = 2 if i == 0 else 1  # tunnel stalls are transient: retry headline
-        for _ in range(attempts):
+    for sweep in range(2):
+        for i, metric in enumerate(_METRICS):
+            if metric in rates:
+                continue
+            cap = _HEADLINE_CAP_S if i == 0 else _METRIC_CAP_S
             if remaining() < 90:
                 break
             got = _run_subprocess(metric, min(cap, max(60.0, remaining() - 20)))
             rates.update(got)
-            if got:
-                break
-        print(json.dumps(_build_result(rates, torch_stats,
-                                       time.monotonic() - t0)), flush=True)
+            print(json.dumps(_build_result(rates, torch_stats,
+                                           time.monotonic() - t0)), flush=True)
         if remaining() < 90:
             break
 

@@ -32,7 +32,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     from ..ops import convops
+    from .common import enable_cli_compile_cache
 
+    enable_cli_compile_cache()
     convops.set_precision(args.precision)
 
     mt = load_model(args.model_folder)

@@ -36,14 +36,21 @@ def mesh_from_flag(value):
 
     available = len(jax.devices())
     n_model = 1
-    if value in ("all", "auto"):
-        n = available
-    elif "x" in str(value):
-        d, m = str(value).lower().split("x", 1)
-        n_data, n_model = int(d), int(m)
-        n = n_data * n_model
-    else:
-        n = int(value)
+    value = str(value).strip().lower()
+    try:
+        if value in ("all", "auto"):
+            n = available
+        elif "x" in value:
+            d, m = value.split("x", 1)
+            n_data, n_model = int(d), int(m)
+            n = n_data * n_model
+        else:
+            n = int(value)
+    except ValueError:
+        raise SystemExit(
+            f"--devices {value!r} not understood: use N, NxM (e.g. 4x2), "
+            "or all/auto"
+        )
     if n > available:
         raise SystemExit(
             f"--devices {value} requests {n} devices but only {available} "
@@ -52,6 +59,17 @@ def mesh_from_flag(value):
     if n <= 1:
         return None
     return get_mesh(n_data=n // n_model, n_model=n_model)
+
+
+def enable_cli_compile_cache():
+    """Persistent XLA compile cache for CLI runs (utils/compile_cache.py).
+
+    On the tunneled TPU a cold conv graph costs 100-300+ s to remote-
+    compile; caching makes repeat train/apply invocations start warm.
+    Call before the first compilation; no-op when disabled/unavailable."""
+    from ..utils.compile_cache import enable_compile_cache
+
+    return enable_compile_cache()
 
 
 def open_inputs(paths):

@@ -25,6 +25,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from .common import enable_cli_compile_cache
+
+    enable_cli_compile_cache()  # evaluation may apply the model (compiles)
     mt = ModelEvaluator(
         training_paths=args.train_inputs,
         testing_paths=args.test_inputs,

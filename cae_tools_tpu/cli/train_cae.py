@@ -176,7 +176,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     from ..ops import convops
+    from .common import enable_cli_compile_cache
 
+    enable_cli_compile_cache()
     convops.set_precision(args.precision)
 
     train_ds = open_inputs(args.train_inputs)

@@ -331,6 +331,11 @@ class HyperOptimizer:
         cmd = [sys.executable, "-m", "cae_tools_tpu.cli.train_cae"] + self._cli_args(
             params, model_folder, train_inputs, test_inputs
         )
+        if self.mesh is not None:
+            # forward the mesh layout as train_cae --devices
+            shape = dict(self.mesh.shape)
+            cmd += ["--devices",
+                    f"{shape.get('data', 1)}x{shape.get('model', 1)}"]
         try:
             output = subprocess.check_output(
                 cmd, stderr=subprocess.STDOUT, text=True
@@ -361,6 +366,8 @@ class HyperOptimizer:
         broadcast_scalar_vars(train_ds, args.input_variables, case_dimension)
         broadcast_scalar_vars(test_ds, args.input_variables, case_dimension)
         mt = build_model(args)
+        if self.mesh is not None:
+            mt.set_mesh(self.mesh)  # DP/TP-sharded trial training
         mt.train(
             args.input_variables,
             args.output_variable,
@@ -446,6 +453,16 @@ class HyperOptimizer:
         from ..data.dataset import ArrayDataset
 
         train_inputs, test_inputs = self._trial_inputs(0)
+        if self.sample_files:
+            # one draw shared by the whole vmapped sweep (the trials axis
+            # carries lr/wd, not data) — log it like the per-trial modes do
+            self._log(
+                {
+                    "mode": "vmap",
+                    "sampled_train_inputs": train_inputs,
+                    "sampled_test_inputs": test_inputs,
+                }
+            )
         setup = dict(base)
         setup["nr_epochs"] = 0
         args = build_parser().parse_args(

@@ -84,6 +84,7 @@ class BaseModel:
     def set_mesh(self, mesh):
         self.mesh = mesh
         self._apply_cache = {}  # placement/chunking depends on the mesh
+        self._tp_placed = None
 
     def set_apply_dtype(self, dtype):
         """Parameter storage dtype for the apply path (None = keep f32).
@@ -100,15 +101,27 @@ class BaseModel:
         """On a mesh with a populated "model" axis, shard large dense
         kernels over it (tensor parallelism — parallel/mesh.py:60); the
         production case is the LinearModel's (c*y*x) x (C*Y*X) weight.
-        No-op (replication) for everything else."""
+        No-op (replication) for everything else.
+
+        The placed tree is cached per (params, state) identity: apply is
+        called per dataset/chunk and re-walking the tree with device_puts
+        every call costs host round-trips (ms-scale each on the tunneled
+        TPU).  ``tp_min_size`` mirrors the Trainer knob so train-time and
+        apply-time placement agree."""
         if self.mesh is None or int(self.mesh.shape.get("model", 1)) <= 1:
             return params, state
+        cached = getattr(self, "_tp_placed", None)
+        if cached is not None and cached[0] is params and cached[1] is state:
+            return cached[2]
         from ..parallel.mesh import shard_params_tp
 
-        return (
-            shard_params_tp(params, self.mesh),
-            shard_params_tp(state, self.mesh),
+        min_size = getattr(self, "tp_min_size", 1 << 20)
+        placed = (
+            shard_params_tp(params, self.mesh, min_size=min_size),
+            shard_params_tp(state, self.mesh, min_size=min_size),
         )
+        self._tp_placed = (params, state, placed)
+        return placed
 
     def _apply_params_state(self):
         """Params/state as fed to the apply graphs (optionally bf16-cast,

@@ -90,8 +90,10 @@ class ModelEvaluator:
 
     # ------------------------------------------------------------------
     def compute_measure(self, dataset, idx, measure):
-        predicted = np.asarray(dataset[self.model_output_variable][idx, 0, :, :].values)
-        actual = np.asarray(dataset[self.output_variable][idx, 0, :, :].values)
+        # every channel, consistent with the case browser's |error| panels
+        # (identical to the reference for the usual 1-channel outputs)
+        predicted = np.asarray(dataset[self.model_output_variable][idx].values)
+        actual = np.asarray(dataset[self.output_variable][idx].values)
         if measure == "mae":
             return float(np.mean(np.abs(predicted - actual)))
         if measure == "mse":

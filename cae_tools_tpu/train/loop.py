@@ -358,9 +358,24 @@ class Trainer:
                 self.resume = False  # one-shot: later fits must not rewind
                 if self.mesh is not None:
                     repl = replicated_sharding(self.mesh)
-                    params = jax.device_put(params, repl)
+                    if tp:
+                        # keep the model-axis sharding through the resume:
+                        # replicating here would silently drop TP for the
+                        # whole resumed run (and can OOM a kernel that
+                        # only fits sharded)
+                        from ..parallel.mesh import shard_params_tp
+
+                        min_size = getattr(self, "tp_min_size", 1 << 20)
+                        params = shard_params_tp(
+                            params, self.mesh, min_size=min_size
+                        )
+                        opt_state = shard_params_tp(
+                            opt_state, self.mesh, min_size=min_size
+                        )
+                    else:
+                        params = jax.device_put(params, repl)
+                        opt_state = jax.device_put(opt_state, repl)
                     state = jax.device_put(state, repl)
-                    opt_state = jax.device_put(opt_state, repl)
 
         # ---- host loop: record/print at the reference cadence -----------
         from ..utils.profiling import trace as profile_trace

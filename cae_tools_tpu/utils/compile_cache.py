@@ -19,6 +19,15 @@ def default_cache_dir() -> str:
     return os.path.join(os.path.dirname(pkg), ".jax_cache")
 
 
+def _user_cache_dir() -> str:
+    # pip-installed layout: the package parent is site-packages (not a
+    # writable checkout) — cache under the user's cache dir instead
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "cae_tools_tpu", "jax")
+
+
 def enable_compile_cache(path: str | None = None) -> str | None:
     """Point jax at a persistent on-disk compilation cache.
 
@@ -28,15 +37,18 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     """
     if os.environ.get("CAE_TPU_COMPILE_CACHE", "1") == "0":
         return None
-    path = path or os.environ.get("CAE_TPU_CACHE_DIR") or default_cache_dir()
-    try:
-        os.makedirs(path, exist_ok=True)
-        import jax
+    explicit = path or os.environ.get("CAE_TPU_CACHE_DIR")
+    for candidate in filter(None, (explicit, default_cache_dir(),
+                                   _user_cache_dir())):
+        try:
+            os.makedirs(candidate, exist_ok=True)
+            import jax
 
-        jax.config.update("jax_compilation_cache_dir", path)
-        # the tunnel makes even small graphs expensive; cache everything
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - old jax / read-only fs
-        return None
-    return path
+            jax.config.update("jax_compilation_cache_dir", candidate)
+            # the tunnel makes even small graphs expensive; cache everything
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            return candidate
+        except Exception:  # pragma: no cover - old jax / read-only fs
+            continue
+    return None

@@ -229,3 +229,55 @@ def test_gan_trainer_checkpoint_resume(tmp_path):
     snap2 = restore_checkpoint(folder)
     w_after_second = jax.tree_util.tree_leaves(snap2["params"])[0]
     assert not np.allclose(np.asarray(w_after_first), np.asarray(w_after_second))
+
+
+def test_trainer_tp_resume_keeps_model_axis_sharding(tmp_path):
+    """Orbax resume on a dp x tp mesh must re-shard the restored dense
+    kernel and its Adam moments over the "model" axis, not replicate
+    them (replication would silently drop TP for the resumed run)."""
+    from cae_tools_tpu.nn import modules as M
+    from cae_tools_tpu.parallel.mesh import get_mesh
+    from cae_tools_tpu.train.loop import TrainConfig, Trainer
+    from jax.sharding import PartitionSpec as P
+
+    lin = M.LinearMap((1, 8, 8), (1, 32, 32))
+    params0, _ = lin.init(jax.random.PRNGKey(0))
+
+    def loss_fn(p, s, r, batch, train):
+        out, _ = lin.apply(p, s, batch["x"], train)
+        per = jnp.mean((out - batch["y"]) ** 2, axis=(1, 2, 3))
+        w = batch["w"]
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0), ({}, {})
+
+    rng = np.random.default_rng(3)
+    data = {
+        "x": rng.random((16, 8, 8, 1)).astype(np.float32),
+        "y": rng.random((16, 32, 32, 1)).astype(np.float32),
+    }
+    cfg = TrainConfig(batch_size=8, nr_epochs=4, test_interval=2, lr=0.05)
+    folder = str(tmp_path / "model")
+    mesh = get_mesh(n_data=4, n_model=2)
+
+    t1 = Trainer(loss_fn, cfg, mesh=mesh)
+    t1.tp_min_size = 1024
+    t1.checkpoint_folder = folder
+    t1.checkpoint_interval = 2
+    _, _, _, test1 = t1.fit(
+        params0, {}, data, data, {"train_loss": [], "test_loss": []}
+    )
+    assert latest_step(folder) == 4
+
+    t2 = Trainer(loss_fn, cfg, mesh=mesh)
+    t2.tp_min_size = 1024
+    t2.checkpoint_folder = folder
+    t2.checkpoint_interval = 2
+    t2.resume = True
+    p2, _, _, test2 = t2.fit(
+        params0, {}, data, data, {"train_loss": [], "test_loss": []}
+    )
+    assert latest_step(folder) == 8
+    assert test2 < test1  # trajectory continued
+    # the resumed kernel kept (or re-acquired) the model-axis sharding
+    assert p2["fc"]["w"].sharding.spec == P(None, "model"), (
+        p2["fc"]["w"].sharding
+    )

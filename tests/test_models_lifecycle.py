@@ -208,5 +208,5 @@ def test_apply_chunk_size_is_output_invariant(small_circle):
         mt._apply_cache = {}
         out = mt._predict_normalised(x)
         # different chunk -> different matmul tiling -> f32 rounding only
-        np.testing.assert_allclose(out, ref, atol=1e-5), cs
+        np.testing.assert_allclose(out, ref, atol=1e-5, err_msg=f"cs={cs}")
     mt.apply_chunk_size = None

@@ -538,14 +538,19 @@ def measure_one(metric: str) -> dict:
 
     spec = _spec()
     iters = _ITERS
-    if metric == "train_convae":
-        convops.set_precision("high")
+    if metric in ("train_convae", "train_convae_bf16"):
+        # bf16 variant: the 1-pass bf16 conv path ("default" precision)
+        # through the same train scan — measured 1.97x the HIGH path
+        # (63.2k vs 32.0k img/s @b256); opt-in via --precision default
+        convops.set_precision(
+            "default" if metric == "train_convae_bf16" else "high"
+        )
         k = _TRAIN_SCAN_STEPS
         run, carry, data = build_jax_convae_train(
             spec, _LATENT, _FC, _TRAIN_BATCH, k
         )
         ips = _TRAIN_BATCH / time_jax_train_scan(run, carry, data, k)
-        return {"train_convae": ips}
+        return {metric: ips}
     if metric == "train_unet":
         # own process (scan timing amortizes any dispatch tax to <2%, and a
         # stalled UNET compile must not take the ConvAE number down with it)
@@ -640,12 +645,13 @@ _METRICS = (
     "apply_unet",        # UNET pure-XLA apply (the fused tail's baseline)
     "train_unet",
     "train_varae",    # Pallas MS-SSIM value+grad in the loss
+    "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
     "apply_bf16",
     "apply_bf16_weights",
 )
 _ALL_KEYS = ("apply_fused", "train_convae", "train_unet", "train_varae",
-             "apply_unet_fused", "apply_unet", "apply_xla_high", "apply_bf16",
-             "apply_bf16_weights")
+             "train_convae_bf16", "apply_unet_fused", "apply_unet",
+             "apply_xla_high", "apply_bf16", "apply_bf16_weights")
 
 
 def _build_result(rates, torch_stats, elapsed_s):
@@ -681,6 +687,7 @@ def _build_result(rates, torch_stats, elapsed_s):
         "apply_bf16": "bf16_fast_path_images_per_sec",
         "apply_bf16_weights": "bf16_weights_fast_path_images_per_sec",
         "train_convae": "train_convae_images_per_sec",
+        "train_convae_bf16": "train_convae_bf16_images_per_sec",
         "train_unet": "train_unet_images_per_sec",
         "train_varae": "train_varae_images_per_sec",
         "apply_unet_fused": "apply_unet_fused_images_per_sec",

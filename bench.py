@@ -530,9 +530,10 @@ _TRAIN_SCAN_STEPS = int(os.environ.get("CAE_BENCH_SCAN_STEPS", "64"))
 def measure_one(metric: str) -> dict:
     """Measure a single metric in THIS process (must be called fresh).
 
-    Emits an incremental JSON line after each sub-metric so the parent
-    can harvest partial results even if it kills this process mid-run
-    (tunnel stall tolerance)."""
+    Returns the metric's result dict; the CAE_BENCH_ONLY child entry
+    point prints it as one JSON line on completion, which the parent
+    harvests (a child killed mid-run reports nothing — the parent's
+    stall tolerance then skips or retries the metric)."""
     _enable_cache()
     from cae_tools_tpu.ops import convops
 

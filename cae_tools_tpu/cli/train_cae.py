@@ -256,7 +256,10 @@ def main(argv=None):
     if args.scheduler_type:
         # fix-forward: the reference accepts --scheduler-type but never
         # wires it (cli/train_cae.py:41); here it selects the LR schedule
-        if args.method == "resunet_gan" and args.scheduler_type == "ReduceLROnPlateau":
+        # check the constructed/loaded model type, not args.method: the
+        # --continue-training path derives the class from parameters.json
+        # and leaves args.method at its default
+        if isinstance(mt, ResUNetGAN) and args.scheduler_type == "ReduceLROnPlateau":
             raise SystemExit(
                 "--scheduler-type ReduceLROnPlateau is not supported with "
                 "--method resunet_gan (critic/generator losses do not "

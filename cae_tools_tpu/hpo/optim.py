@@ -475,6 +475,10 @@ class HyperOptimizer:
         broadcast_scalar_vars(train_ds, args.input_variables, case_dimension)
         broadcast_scalar_vars(test_ds, args.input_variables, case_dimension)
         mt = build_model(args)
+        # setup-only 0-epoch train: builds the spec/normalisation/modules.
+        # Skip the post-train evaluate tail (two whole-dataset forward
+        # passes + an apply-graph compile, all discarded here).
+        mt.evaluate = lambda *a, **k: {}
         mt.train(
             args.input_variables,
             args.output_variable,
@@ -509,6 +513,11 @@ class HyperOptimizer:
             def init_fn(r):
                 mt._init_params(r)
                 return mt.params, (mt.state or {})
+
+        elif getattr(mt, "net", None) is not None:  # SRCNNRes-style module
+
+            def init_fn(r):
+                return mt.net.init(r)
 
         else:  # LinearModel inits inline in train()
 

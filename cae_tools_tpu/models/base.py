@@ -186,6 +186,11 @@ class BaseModel:
             getattr(self, "checkpoint_interval", 0) or 0
         )
         trainer.resume = bool(getattr(self, "resume_from_checkpoint", False))
+        # stale-snapshot guard: never resume an orbax snapshot older than
+        # the model folder's cumulative epoch count (the folder weights
+        # would be silently rewound — see checkpoint.resume_trainer)
+        hist = getattr(self, "history", None) or {}
+        trainer.resume_min_step = int(hist.get("nr_epochs", 0) or 0)
 
     def _make_trainer(self, loss_fn, config, train_data):
         """Device-resident trainer by default; streaming for huge datasets

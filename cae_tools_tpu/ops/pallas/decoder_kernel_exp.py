@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .decoder_kernel import (
     _expand_mats,
+    _nchw_to_nhwc,
     _plane_rows,
     _taps,
     fold_tail_params,
@@ -270,7 +271,4 @@ def decoder_apply_fused_tail_exp(
         x_nchw, w_flat, b_flat, geoms, acts, variant=variant, gpack=gpack,
         interpret=interpret,
     )[:n]
-    n_, c_, hh, ww = out.shape
-    if c_ == 1:
-        return out.reshape(n_, hh, ww, 1)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return _nchw_to_nhwc(out)

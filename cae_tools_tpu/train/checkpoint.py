@@ -58,6 +58,44 @@ def latest_step(folder) -> Optional[int]:
     return step
 
 
+def resume_trainer(trainer, template):
+    """Shared orbax-resume step for every trainer (Trainer/GANTrainer/
+    StreamingTrainer previously each inlined a divergent copy of this).
+
+    Honors the one-shot ``trainer.resume`` flag (consumed whether or not
+    a snapshot is used, so later ``fit`` calls never rewind) and the
+    stale-snapshot guard: a snapshot older than ``trainer.resume_min_step``
+    (the model folder's cumulative epoch count, set by
+    ``BaseModel._configure_checkpointing``) is ignored — the folder
+    weights are newer, e.g. a previous ``--continue-training`` run that
+    trained without ``--checkpoint-interval`` and so saved no snapshot.
+
+    Returns ``(restored_payload_or_None, ckpt_base)``.  Callers re-place
+    the restored arrays on their mesh (replication/TP differs per
+    trainer).
+    """
+    if not (trainer.checkpoint_folder and trainer.resume):
+        return None, 0
+    trainer.resume = False  # one-shot either way
+    try:
+        step = latest_step(trainer.checkpoint_folder)
+    except Exception:
+        step = None
+    if step is None:
+        return None, 0
+    min_step = int(getattr(trainer, "resume_min_step", 0) or 0)
+    if step < min_step:
+        print(
+            f"[checkpoint] ignoring orbax snapshot at epoch {step}: the "
+            f"model folder already contains {min_step} epochs of training"
+        )
+        return None, 0
+    restored = restore_checkpoint(
+        trainer.checkpoint_folder, step, template=template
+    )
+    return restored, int(step)
+
+
 def restore_checkpoint(folder, step: Optional[int] = None, template=None):
     """Restore a snapshot; ``template`` (matching pytree of arrays) guides
     sharding/dtype restoration when provided."""

@@ -117,34 +117,26 @@ class GANTrainer(Trainer):
         d_opt = d_tx.init(d_params)
 
         # ---- orbax resume (two-player carry; see Trainer.fit twin) -------
-        ckpt_base = 0
-        if self.checkpoint_folder and self.resume:
-            from . import checkpoint as ckpt
+        from .checkpoint import resume_trainer
 
-            try:
-                step = ckpt.latest_step(self.checkpoint_folder)
-            except Exception:
-                step = None
-            if step is not None:
-                template = {
-                    "params": g_params, "state": state, "opt_state": g_opt,
-                    "d_params": d_params, "d_opt": d_opt,
-                }
-                restored = ckpt.restore_checkpoint(
-                    self.checkpoint_folder, step, template=template
+        restored, ckpt_base = resume_trainer(
+            self,
+            {
+                "params": g_params, "state": state, "opt_state": g_opt,
+                "d_params": d_params, "d_opt": d_opt,
+            },
+        )
+        if restored is not None:
+            g_params = restored["params"]
+            state = restored["state"]
+            g_opt = restored.get("opt_state", g_opt)
+            d_params = restored.get("d_params", d_params)
+            d_opt = restored.get("d_opt", d_opt)
+            if self.mesh is not None:
+                repl = replicated_sharding(self.mesh)
+                g_params, state, g_opt, d_params, d_opt = jax.device_put(
+                    (g_params, state, g_opt, d_params, d_opt), repl
                 )
-                g_params = restored["params"]
-                state = restored["state"]
-                g_opt = restored.get("opt_state", g_opt)
-                d_params = restored.get("d_params", d_params)
-                d_opt = restored.get("d_opt", d_opt)
-                ckpt_base = int(step)
-                self.resume = False  # one-shot: later fits must not rewind
-                if self.mesh is not None:
-                    repl = replicated_sharding(self.mesh)
-                    g_params, state, g_opt, d_params, d_opt = jax.device_put(
-                        (g_params, state, g_opt, d_params, d_opt), repl
-                    )
 
         from ..utils.profiling import trace as profile_trace
 

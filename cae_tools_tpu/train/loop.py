@@ -139,6 +139,9 @@ class Trainer:
         self.checkpoint_folder = None
         self.checkpoint_interval = 0
         self.resume = False
+        #: snapshots older than this many epochs are ignored on resume
+        #: (the model folder's weights are newer; checkpoint.resume_trainer)
+        self.resume_min_step = 0
         #: jitted (run_epochs, eval_loss, tx) per data geometry — reusing
         #: them across fit() calls (continue-training, HPO trials, the
         #: UNET double fit) skips the 75-85 s remote recompile per call
@@ -336,46 +339,35 @@ class Trainer:
             )
 
         # ---- orbax resume: params + BN state + optimizer moments ---------
-        ckpt_base = 0
-        if self.checkpoint_folder and self.resume:
-            from . import checkpoint as ckpt
+        from .checkpoint import resume_trainer
 
-            try:
-                step = ckpt.latest_step(self.checkpoint_folder)
-            except Exception:
-                step = None
-            if step is not None:
-                template = {
-                    "params": params, "state": state, "opt_state": opt_state
-                }
-                restored = ckpt.restore_checkpoint(
-                    self.checkpoint_folder, step, template=template
-                )
-                params = restored["params"]
-                state = restored["state"]
-                opt_state = restored.get("opt_state", opt_state)
-                ckpt_base = int(step)
-                self.resume = False  # one-shot: later fits must not rewind
-                if self.mesh is not None:
-                    repl = replicated_sharding(self.mesh)
-                    if tp:
-                        # keep the model-axis sharding through the resume:
-                        # replicating here would silently drop TP for the
-                        # whole resumed run (and can OOM a kernel that
-                        # only fits sharded)
-                        from ..parallel.mesh import shard_params_tp
+        restored, ckpt_base = resume_trainer(
+            self, {"params": params, "state": state, "opt_state": opt_state}
+        )
+        if restored is not None:
+            params = restored["params"]
+            state = restored["state"]
+            opt_state = restored.get("opt_state", opt_state)
+            if self.mesh is not None:
+                repl = replicated_sharding(self.mesh)
+                if tp:
+                    # keep the model-axis sharding through the resume:
+                    # replicating here would silently drop TP for the
+                    # whole resumed run (and can OOM a kernel that
+                    # only fits sharded)
+                    from ..parallel.mesh import shard_params_tp
 
-                        min_size = getattr(self, "tp_min_size", 1 << 20)
-                        params = shard_params_tp(
-                            params, self.mesh, min_size=min_size
-                        )
-                        opt_state = shard_params_tp(
-                            opt_state, self.mesh, min_size=min_size
-                        )
-                    else:
-                        params = jax.device_put(params, repl)
-                        opt_state = jax.device_put(opt_state, repl)
-                    state = jax.device_put(state, repl)
+                    min_size = getattr(self, "tp_min_size", 1 << 20)
+                    params = shard_params_tp(
+                        params, self.mesh, min_size=min_size
+                    )
+                    opt_state = shard_params_tp(
+                        opt_state, self.mesh, min_size=min_size
+                    )
+                else:
+                    params = jax.device_put(params, repl)
+                    opt_state = jax.device_put(opt_state, repl)
+                state = jax.device_put(state, repl)
 
         # ---- host loop: record/print at the reference cadence -----------
         from ..utils.profiling import trace as profile_trace

@@ -107,31 +107,20 @@ class StreamingTrainer(Trainer):
         opt_state = tx.init(params)
 
         # ---- orbax resume (see Trainer.fit twin) -------------------------
-        ckpt_base = 0
-        if self.checkpoint_folder and self.resume:
-            from . import checkpoint as ckpt
+        from .checkpoint import resume_trainer
 
-            try:
-                step_no = ckpt.latest_step(self.checkpoint_folder)
-            except Exception:
-                step_no = None
-            if step_no is not None:
-                template = {
-                    "params": params, "state": state, "opt_state": opt_state
-                }
-                restored = ckpt.restore_checkpoint(
-                    self.checkpoint_folder, step_no, template=template
+        restored, ckpt_base = resume_trainer(
+            self, {"params": params, "state": state, "opt_state": opt_state}
+        )
+        if restored is not None:
+            params = restored["params"]
+            state = restored["state"]
+            opt_state = restored.get("opt_state", opt_state)
+            if self.mesh is not None:
+                repl = replicated_sharding(self.mesh)
+                params, state, opt_state = jax.device_put(
+                    (params, state, opt_state), repl
                 )
-                params = restored["params"]
-                state = restored["state"]
-                opt_state = restored.get("opt_state", opt_state)
-                ckpt_base = int(step_no)
-                self.resume = False  # one-shot: later fits must not rewind
-                if self.mesh is not None:
-                    repl = replicated_sharding(self.mesh)
-                    params, state, opt_state = jax.device_put(
-                        (params, state, opt_state), repl
-                    )
         last_ckpt_epoch = 0
         epochs_done = 0
 

@@ -281,3 +281,47 @@ def test_trainer_tp_resume_keeps_model_axis_sharding(tmp_path):
     assert p2["fc"]["w"].sharding.spec == P(None, "model"), (
         p2["fc"]["w"].sharding
     )
+
+
+def test_stale_snapshot_is_not_rewound(tmp_path, circle_data, capsys):
+    """A --continue-training run that saved NO new orbax snapshot must not
+    have its newer folder weights rewound to the old snapshot by the next
+    --continue-training run (checkpoint.resume_trainer stale guard)."""
+    import os
+
+    from cae_tools_tpu.models.linear_model import LinearModel
+    from cae_tools_tpu.xrcompat import xr
+
+    train_ds = xr.open_dataset(os.path.join(circle_data, "train.nc"))
+    test_ds = xr.open_dataset(os.path.join(circle_data, "test.nc"))
+    folder = str(tmp_path / "linear")
+
+    # run A: snapshots on (orbax/10 written)
+    mt = LinearModel(batch_size=6, nr_epochs=10, test_interval=5, lr=0.05)
+    mt.checkpoint_interval = 5
+    mt.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert latest_step(folder) == 10
+
+    # run B: continue WITHOUT checkpointing -> folder at 20 epochs,
+    # orbax still at 10
+    mt2 = LinearModel()
+    mt2.load(folder)
+    mt2.nr_epochs = 10
+    mt2.resume_from_checkpoint = True
+    mt2.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert latest_step(folder) == 10
+    assert mt2.history["nr_epochs"] == 20
+
+    # run C: continue again, 0 epochs -> weights must pass through
+    # untouched; a rewind would replace them with the stale orbax/10 ones
+    w_after_b = np.asarray(jax.tree_util.tree_leaves(mt2.params)[0]).copy()
+    mt3 = LinearModel()
+    mt3.load(folder)
+    mt3.nr_epochs = 0
+    mt3.resume_from_checkpoint = True
+    capsys.readouterr()
+    mt3.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    out = capsys.readouterr().out
+    assert "ignoring orbax snapshot" in out
+    w_after_c = np.asarray(jax.tree_util.tree_leaves(mt3.params)[0])
+    np.testing.assert_array_equal(w_after_c, w_after_b)

@@ -16,6 +16,25 @@ device time.  These variants test cheaper final-stage strategies:
                   relayout, 1 KB rows) fused with the final activation.
 - ``planes``    — final stage emits all four (a, b) parity planes; the
                   wrapper does a full XLA depth-to-space + activation.
+- ``rowshuf``   — EVERY stage: column interleave stays an MXU matmul,
+                  row interleave becomes an in-VMEM sublane shuffle
+                  (``stack(axis=1)+reshape``) — the 0/1 row-expansion
+                  matmul is pure row selection, so a relayout can replace
+                  ~half the interleave MXU FLOPs (~33 MFLOP/img at the
+                  final stage) if Mosaic lowers the shuffle well.
+- ``shuffle``   — EVERY stage: both interleaves as in-VMEM shuffles
+                  (rows: sublane stack+reshape; cols: lane
+                  stack(axis=2)+reshape) — no interleave matmuls at all.
+                  NOTE: compiles in interpret mode only; Mosaic rejects
+                  the lane interleave's shape cast on real TPU
+                  ("infer-vector-layout: unsupported shape cast
+                  (32,32,2)->(32,64)", measured 2026-08-18).
+
+Measured verdicts (BASELINE.md "Final-stage kernel strategy A/B"): every
+variant loses to or ties the production kernel — rowsplit −14%,
+planes −20%, gpack ±0, rowshuf ±0 (7.12 vs 7.13 us/img; the 0/1
+row-expansion matmul was already free), shuffle uncompilable.  The
+production kernel's in-kernel MXU interleave stands.
 
 All variants share an optional ``gpack`` (images per grid step): the
 grid shrinks by G and the kernel unrolls G images per step, amortizing
@@ -98,6 +117,22 @@ def _interleave_rows(p0, p1, e0, e1):
     )
 
 
+def _interleave_cols_shuf(p0, p1, o_w):
+    """out[:, 2n+b] = p_b[:, n] as a lane interleave: stack on a new minor
+    axis and collapse — exact (no arithmetic), vs the matmul's f32 MXU
+    passes.  Trailing garbage column (odd o_w) sliced off."""
+    m_h, m_w = p0.shape
+    y = jnp.stack([p0, p1], axis=2).reshape(m_h, 2 * m_w)
+    return y[:, :o_w]
+
+
+def _interleave_rows_shuf(c0, c1, o_h):
+    """out[2n+a, :] = c_a[n, :] as a sublane interleave."""
+    m_h, o_w = c0.shape
+    y = jnp.stack([c0, c1], axis=1).reshape(2 * m_h, o_w)
+    return y[:o_h]
+
+
 def _act(y, act):
     if act == "relu":
         return jnp.maximum(y, 0.0)
@@ -140,13 +175,22 @@ def _tail_kernel_exp(x_ref, w_ref, b_ref, *refs, geoms, acts, variant, gpack):
                     )
             else:
                 f0, f1 = fc_ref[0], fc_ref[1]
+                o_h, o_w = geom[6], geom[7]
+                if variant == "shuffle":
+                    icols = lambda p0, p1: _interleave_cols_shuf(p0, p1, o_w)
+                else:
+                    icols = lambda p0, p1: _interleave_cols(p0, p1, f0, f1)
+                if variant in ("shuffle", "rowshuf"):
+                    irows = lambda c0, c1: _interleave_rows_shuf(c0, c1, o_h)
+                else:
+                    irows = lambda c0, c1: _interleave_rows(
+                        c0, c1, er_ref[0], er_ref[1]
+                    )
                 nxt = []
                 for co, planes in enumerate(pl_out):
-                    c0 = _interleave_cols(planes[(0, 0)], planes[(0, 1)],
-                                          f0, f1)
-                    c1 = _interleave_cols(planes[(1, 0)], planes[(1, 1)],
-                                          f0, f1)
-                    y = _interleave_rows(c0, c1, er_ref[0], er_ref[1])
+                    c0 = icols(planes[(0, 0)], planes[(0, 1)])
+                    c1 = icols(planes[(1, 0)], planes[(1, 1)])
+                    y = irows(c0, c1)
                     y = _act(y + b_ref[b_off + co], act)
                     nxt.append(y)
                 if last:

@@ -107,7 +107,8 @@ def bench_variant(name, batch, steps, repeats=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variants", nargs="+",
-                    help="prod | full[:G] | rowsplit[:G] | planes[:G] | all")
+                    help="prod | full[:G] | rowsplit[:G] | planes[:G] | "
+                         "rowshuf[:G] | shuffle[:G] | all | shuf")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--steps", type=int, default=24)
     args = ap.parse_args()
@@ -115,15 +116,22 @@ def main():
     if names == ["all"]:
         names = ["prod", "full:1", "rowsplit:1", "planes:1",
                  "full:4", "rowsplit:4"]
+    elif names == ["shuf"]:
+        names = ["prod", "full:1", "rowshuf:1", "shuffle:1"]
     convops.set_precision("high")
     print(f"devices: {jax.devices()}  batch={args.batch} steps={args.steps}",
           flush=True)
     summary = {}
     for name in names:
-        summary[name] = bench_variant(name, args.batch, args.steps)
+        try:
+            summary[name] = bench_variant(name, args.batch, args.steps)
+        except Exception as e:  # e.g. Mosaic compile rejection ("shuffle")
+            print(f"  [{name}] FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+            summary[name] = None
     print("== summary (us/img) ==")
     for k, v in summary.items():
-        print(f"  {k:14s} {v:.3f}")
+        print(f"  {k:14s} {'FAILED' if v is None else f'{v:.3f}'}")
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ from cae_tools_tpu.ops.pallas.decoder_kernel_exp import (
 
 @pytest.mark.parametrize("variant,gpack", [
     ("full", 1), ("rowsplit", 1), ("planes", 1),
+    ("rowshuf", 1), ("shuffle", 1),
     ("rowsplit", 2),  # batch 3 -> exercises the gpack padding path
 ])
 def test_exp_variant_matches_production(variant, gpack):

@@ -520,9 +520,9 @@ _LATENT, _FC = 32, 128
 # to cover a cache hit — which is already true of the b64 graphs too.
 # (The round-2 b128 "213k img/s" per-step reading was a
 # donation-memoization artifact and is retracted — see BASELINE.md.)
-_TRAIN_BATCH = min(256, _BATCH)
-_UNET_BATCH = min(128, _BATCH)
-_VARAE_BATCH = min(64, _BATCH)
+_TRAIN_BATCH = min(512, _BATCH)
+_UNET_BATCH = min(256, _BATCH)
+_VARAE_BATCH = min(256, _BATCH)
 #: steps per timed scan dispatch for the train metrics
 _TRAIN_SCAN_STEPS = int(os.environ.get("CAE_BENCH_SCAN_STEPS", "64"))
 

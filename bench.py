@@ -137,7 +137,7 @@ def cast_params_bf16(params):
     return jax.tree_util.tree_map(cast, params)
 
 
-def build_jax_convae_train(spec, latent, fc, batch, k_steps):
+def build_jax_convae_train(spec, latent, fc, batch, k_steps, fused_tail=False):
     """K train steps inside one ``lax.scan`` dispatch — the product
     trainer's shape (train/loop.py run_epochs).
 
@@ -163,10 +163,30 @@ def build_jax_convae_train(spec, latent, fc, batch, k_steps):
     tx = optax.chain(optax.add_decayed_weights(1e-5), optax.adam(1e-3))
     opt_state = tx.init(params)
 
-    def loss_fn(params, state, x, y):
-        z, es2 = enc.apply(params["e"], state["e"], x, train=True)
-        out, ds2 = dec.apply(params["d"], state["d"], z, train=True)
-        return jnp.mean((out - y) ** 2), {"e": es2, "d": ds2}
+    if fused_tail:
+        # the TPU product-default train loss since round 3: fused
+        # ConvT+sigmoid+SSE Pallas pair with analytic VJP on the final
+        # decoder stage (ops/pallas/train_tail.py) — never materializes a
+        # full-resolution tensor in HBM
+        from cae_tools_tpu.ops.pallas.train_tail import last_stage_sse
+
+        interpret = jax.default_backend() != "tpu"
+        o_c, o_h, o_w = spec.output_layers[-1].get_output_dimensions()
+        denom = float(o_c * o_h * o_w)
+
+        def loss_fn(params, state, x, y):
+            z, es2 = enc.apply(params["e"], state["e"], x, train=True)
+            h, ds2 = dec.apply_head(params["d"], state["d"], z, train=True)
+            cp = params["d"]["convs"][-1]
+            sse = last_stage_sse(cp["w"], cp["b"], h, y, interpret=interpret)
+            return jnp.mean(sse) / denom, {"e": es2, "d": ds2}
+
+    else:
+
+        def loss_fn(params, state, x, y):
+            z, es2 = enc.apply(params["e"], state["e"], x, train=True)
+            out, ds2 = dec.apply(params["d"], state["d"], z, train=True)
+            return jnp.mean((out - y) ** 2), {"e": es2, "d": ds2}
 
     @partial(jax.jit, donate_argnums=(0,))
     def run(carry, rng, x, y):
@@ -190,7 +210,7 @@ def build_jax_convae_train(spec, latent, fc, batch, k_steps):
     return run, (params, state, opt_state), (x, y)
 
 
-def build_jax_unet_train(batch, k_steps):
+def build_jax_unet_train(batch, k_steps, fused_tail=False):
     """K UNET train steps per ``lax.scan`` dispatch (see convae twin)."""
     import jax
     import jax.numpy as jnp
@@ -217,14 +237,45 @@ def build_jax_unet_train(batch, k_steps):
     tx = optax.adamw(1e-3, weight_decay=1e-5)
     opt_state = tx.init(params)
 
-    def loss_fn(params, state, rng, x, y):
-        r1, r2 = jax.random.split(rng)
-        (z, skips), es2 = enc.apply(params["e"], state["e"], x, True, rng=r1)
-        out, ds2 = dec.apply(params["d"], state["d"], z, skips, True, rng=r2)
-        mask = jnp.ones_like(out)
-        mse = L.masked_mse(out, y, mask)
-        corr = jnp.mean(L.masked_pearson(out, y, mask))
-        return mse + (1.0 - corr), {"e": es2, "d": ds2}
+    if fused_tail:
+        # the TPU product-default UNET train loss since round 3: fused
+        # ConvT+sigmoid+masked-stats Pallas pair on the final decoder stage
+        # (ops/pallas/train_tail.py) — the full-resolution output never
+        # reaches HBM; masked MSE + Pearson come from 7 per-image moments
+        from cae_tools_tpu.ops.pallas.train_tail import (
+            last_stage_masked_stats,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        ones_w = jnp.ones((batch,), jnp.float32)
+
+        def loss_fn(params, state, rng, x, y):
+            r1, r2 = jax.random.split(rng)
+            (z, skips), es2 = enc.apply(
+                params["e"], state["e"], x, True, rng=r1
+            )
+            h, ds2 = dec.apply_head(
+                params["d"], state["d"], z, skips, True, rng=r2
+            )
+            cp = params["d"]["convs"][-1]
+            m = jnp.ones((batch,) + y.shape[1:3] + (1,), jnp.float32)
+            stats = last_stage_masked_stats(
+                cp["w"], cp["b"], h, y, m, interpret=interpret
+            )
+            mse = L.masked_mse_from_stats(stats, ones_w)
+            corr = jnp.mean(L.masked_pearson_from_stats(stats, ones_w))
+            return mse + (1.0 - corr), {"e": es2, "d": ds2}
+
+    else:
+
+        def loss_fn(params, state, rng, x, y):
+            r1, r2 = jax.random.split(rng)
+            (z, skips), es2 = enc.apply(params["e"], state["e"], x, True, rng=r1)
+            out, ds2 = dec.apply(params["d"], state["d"], z, skips, True, rng=r2)
+            mask = jnp.ones_like(out)
+            mse = L.masked_mse(out, y, mask)
+            corr = jnp.mean(L.masked_pearson(out, y, mask))
+            return mse + (1.0 - corr), {"e": es2, "d": ds2}
 
     @partial(jax.jit, donate_argnums=(0,))
     def run(carry, rng, x, y):
@@ -539,7 +590,7 @@ def measure_one(metric: str) -> dict:
 
     spec = _spec()
     iters = _ITERS
-    if metric in ("train_convae", "train_convae_bf16"):
+    if metric in ("train_convae", "train_convae_bf16", "train_convae_fused"):
         # bf16 variant: the 1-pass bf16 conv path ("default" precision)
         # through the same train scan — measured 1.97x the HIGH path
         # (63.2k vs 32.0k img/s @b256); opt-in via --precision default
@@ -548,18 +599,21 @@ def measure_one(metric: str) -> dict:
         )
         k = _TRAIN_SCAN_STEPS
         run, carry, data = build_jax_convae_train(
-            spec, _LATENT, _FC, _TRAIN_BATCH, k
+            spec, _LATENT, _FC, _TRAIN_BATCH, k,
+            fused_tail=metric == "train_convae_fused",
         )
         ips = _TRAIN_BATCH / time_jax_train_scan(run, carry, data, k)
         return {metric: ips}
-    if metric == "train_unet":
+    if metric in ("train_unet", "train_unet_fused"):
         # own process (scan timing amortizes any dispatch tax to <2%, and a
         # stalled UNET compile must not take the ConvAE number down with it)
         convops.set_precision("high")
         k = _TRAIN_SCAN_STEPS
-        urun, ucarry, udata = build_jax_unet_train(_UNET_BATCH, k)
+        urun, ucarry, udata = build_jax_unet_train(
+            _UNET_BATCH, k, fused_tail=metric == "train_unet_fused"
+        )
         unet_ips = _UNET_BATCH / time_jax_train_scan(urun, ucarry, udata, k)
-        return {"train_unet": unet_ips}
+        return {metric: unet_ips}
     if metric == "train_varae":
         convops.set_precision("high")
         k = _TRAIN_SCAN_STEPS
@@ -640,17 +694,20 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
 #: metrics in priority order; the first is the headline
 _METRICS = (
     "apply_fused",
-    "train_convae",
+    "train_convae_fused",  # product-default train loss (fused last stage)
+    "train_convae",        # XLA-HIGH train loss (the fused path's baseline)
     "apply_xla_high",
     "apply_unet_fused",  # UNET product-default apply (fused Pallas tail)
     "apply_unet",        # UNET pure-XLA apply (the fused tail's baseline)
-    "train_unet",
+    "train_unet_fused",  # UNET product-default train loss (fused last stage)
+    "train_unet",        # UNET XLA train loss (the fused path's baseline)
     "train_varae",    # Pallas MS-SSIM value+grad in the loss
     "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
     "apply_bf16",
     "apply_bf16_weights",
 )
-_ALL_KEYS = ("apply_fused", "train_convae", "train_unet", "train_varae",
+_ALL_KEYS = ("apply_fused", "train_convae_fused", "train_convae",
+             "train_unet_fused", "train_unet", "train_varae",
              "train_convae_bf16", "apply_unet_fused", "apply_unet",
              "apply_xla_high", "apply_bf16", "apply_bf16_weights")
 
@@ -688,8 +745,10 @@ def _build_result(rates, torch_stats, elapsed_s):
         "apply_bf16": "bf16_fast_path_images_per_sec",
         "apply_bf16_weights": "bf16_weights_fast_path_images_per_sec",
         "train_convae": "train_convae_images_per_sec",
+        "train_convae_fused": "train_convae_fused_images_per_sec",
         "train_convae_bf16": "train_convae_bf16_images_per_sec",
         "train_unet": "train_unet_images_per_sec",
+        "train_unet_fused": "train_unet_fused_images_per_sec",
         "train_varae": "train_varae_images_per_sec",
         "apply_unet_fused": "apply_unet_fused_images_per_sec",
         "apply_unet": "apply_unet_images_per_sec",
@@ -700,6 +759,10 @@ def _build_result(rates, torch_stats, elapsed_s):
     if "train_convae" in rates and torch_train_ips:
         result["train_convae_vs_torch_cpu"] = round(
             rates["train_convae"] / torch_train_ips, 2
+        )
+    if "train_convae_fused" in rates and torch_train_ips:
+        result["train_convae_fused_vs_torch_cpu"] = round(
+            rates["train_convae_fused"] / torch_train_ips, 2
         )
     return result
 
@@ -741,9 +804,12 @@ def main():
     # the priority sweep any still-missing metric gets a second chance
     # with whatever budget remains.
     rates = {}
+    skip = {
+        m for m in os.environ.get("CAE_BENCH_SKIP", "").split(",") if m
+    }
     for sweep in range(2):
         for i, metric in enumerate(_METRICS):
-            if metric in rates:
+            if metric in rates or metric in skip:
                 continue
             cap = _HEADLINE_CAP_S if i == 0 else _METRIC_CAP_S
             if remaining() < 90:

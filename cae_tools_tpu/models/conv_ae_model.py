@@ -229,8 +229,55 @@ class ConvAEModel(BaseModel):
         )
         return y
 
+    def _use_fused_train_tail(self):
+        """Fused ConvT+sigmoid+SSE Pallas pair on the training loss (TPU
+        default).  ``CAE_TPU_FUSED_TRAIN_TAIL=1|0`` overrides; the final
+        decoder stage must satisfy ``train_tail.last_stage_eligible`` and
+        the run must be single-device (the kernel is not partitioned for
+        GSPMD meshes — DP/TP runs keep the XLA loss).  f32 kernel math, so
+        gradients are HIGHEST-grade regardless of the conv precision knob.
+        """
+        choice = os.environ.get("CAE_TPU_FUSED_TRAIN_TAIL")
+        if choice is not None and choice != "1":
+            return False
+        if choice is None and jax.default_backend() != "tpu":
+            return False
+        if self.mesh is not None and self.mesh.size > 1:
+            return False
+        from ..ops.pallas.train_tail import last_stage_eligible
+
+        return (
+            self.decoder is not None
+            and last_stage_eligible(self.decoder.layers[-1])
+        )
+
     def _make_loss_fn(self):
         encoder, decoder = self.encoder, self.decoder
+
+        if self._use_fused_train_tail():
+            from ..ops.pallas.train_tail import last_stage_sse
+
+            interpret = jax.default_backend() != "tpu"
+            o_c, o_h, o_w = decoder.layers[-1].get_output_dimensions()
+            denom = float(o_c * o_h * o_w)
+
+            def loss_fn(params, state, rng, batch, train):
+                z, enc_s = encoder.apply(
+                    params["encoder"], state["encoder"], batch["x"], train
+                )
+                h, dec_s = decoder.apply_head(
+                    params["decoder"], state["decoder"], z, train
+                )
+                cp = params["decoder"]["convs"][-1]
+                sse = last_stage_sse(
+                    cp["w"], cp["b"], h, batch["y"], interpret=interpret
+                )
+                per_sample = sse / denom
+                w = batch["w"]
+                loss = jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+                return loss, ({"encoder": enc_s, "decoder": dec_s}, {})
+
+            return loss_fn
 
         def loss_fn(params, state, rng, batch, train):
             z, enc_s = encoder.apply(

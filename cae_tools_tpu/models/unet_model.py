@@ -254,7 +254,79 @@ class UNET(BaseModel):
 
         return content_loss
 
+    def _use_fused_train_tail(self):
+        """Fused ConvT+sigmoid+masked-stats Pallas pair on the training
+        loss (TPU default).  The final decoder stage's full-resolution
+        output, activation-grad and loss-grad dominate the train step's HBM
+        traffic; the fused pair reduces the stage to 7 per-(image, channel)
+        masked moments in VMEM (``ops/pallas/train_tail.py``) from which
+        masked MSE + Pearson are exact (``ops/losses.py::*_from_stats``).
+        ``CAE_TPU_FUSED_TRAIN_TAIL=1|0`` overrides; requires the plain-UNET
+        forward (residual variants override ``_net_apply``), a sigmoid
+        head, no ``--additional-loss`` (those need the full-resolution
+        output), a single device (the kernel is not GSPMD-partitioned) and
+        ``train_tail.last_stage_eligible`` geometry.  f32 kernel math, so
+        gradients are HIGHEST-grade regardless of the conv precision knob.
+        """
+        choice = os.environ.get("CAE_TPU_FUSED_TRAIN_TAIL")
+        if choice is not None and choice != "1":
+            return False
+        if choice is None and jax.default_backend() != "tpu":
+            return False
+        if self.mesh is not None and self.mesh.size > 1:
+            return False
+        if getattr(self, "additional_loss", None):
+            return False
+        if type(self)._net_apply is not UNET._net_apply:
+            return False  # residual heads add to the stage output
+        from ..ops.pallas.train_tail import last_stage_eligible
+
+        return (
+            self.decoder is not None
+            and self.decoder.final_sigmoid
+            and last_stage_eligible(self.decoder.layers[-1])
+        )
+
+    def _make_fused_loss_fn(self):
+        from ..ops.pallas.train_tail import last_stage_masked_stats
+
+        encoder, decoder = self.encoder, self.decoder
+        lambda_pearson = self.lambda_pearson
+        interpret = jax.default_backend() != "tpu"
+
+        def loss_fn(params, state, rng, batch, train):
+            r_enc = r_dec = None
+            if rng is not None:
+                r_enc, r_dec = jax.random.split(rng)
+            (z, skips), enc_s = encoder.apply(
+                params["encoder"], state["encoder"], batch["x"], train,
+                rng=r_enc,
+            )
+            h, dec_s = decoder.apply_head(
+                params["decoder"], state["decoder"], z, skips, train,
+                rng=r_dec,
+            )
+            cp = params["decoder"]["convs"][-1]
+            stats = last_stage_masked_stats(
+                cp["w"], cp["b"], h, batch["y"], batch["m"],
+                interpret=interpret,
+            )
+            w = batch["w"]
+            mse = L.masked_mse_from_stats(stats, w)
+            corr = L.masked_pearson_from_stats(stats, w)  # (N, C)
+            wsum = jnp.maximum(jnp.sum(w), 1.0)
+            corr_mean = jnp.sum(jnp.mean(corr, axis=1) * w) / wsum
+            pearson_loss = 1.0 - corr_mean
+            loss = mse + lambda_pearson * pearson_loss
+            aux = {"mse": mse, "pearson_loss": pearson_loss}
+            return loss, ({"encoder": enc_s, "decoder": dec_s}, aux)
+
+        return loss_fn
+
     def _make_loss_fn(self):
+        if self._use_fused_train_tail():
+            return self._make_fused_loss_fn()
+
         content_loss = self._make_content_loss()
         net_apply = self._net_apply
 

@@ -217,14 +217,21 @@ class ConvDecoder:
                 state["bns"].append(bs)
         return params, state
 
-    def apply(self, params, state, z, train=False):
+    def apply_head(self, params, state, z, train=False):
+        """FC pyramid + every ConvT/BN/ReLU stage *except the last*.
+
+        Returns ``(h, new_state)`` where ``h`` feeds the final ConvT —
+        split out so the fused last-stage training kernel
+        (``ops/pallas/train_tail``) can own the final stage + loss while
+        the BN-carrying interior stages keep their train-mode statistics.
+        """
         c, y, x = self.unflat_dims
         h = jax.nn.relu(dense(z, params["fc1"]["w"], params["fc1"]["b"]))
         h = dense(h, params["fc2"]["w"], params["fc2"]["b"])
         h = h.reshape(h.shape[0], y, x, c)  # YXC-ordered unflatten
         new_bns = []
-        n_layers = len(self.layers)
-        for i, (spec, cp) in enumerate(zip(self.layers, params["convs"])):
+        for i, spec in enumerate(self.layers[:-1]):
+            cp = params["convs"][i]
             h = (
                 conv_transpose2d(
                     h,
@@ -234,14 +241,28 @@ class ConvDecoder:
                 )
                 + cp["b"]
             )
-            if i != n_layers - 1:
-                h, ns = bn_apply(
-                    params["bns"][i], state["bns"][i], h, train, axes=(0, 1, 2)
-                )
-                new_bns.append(ns)
-                h = jax.nn.relu(h)
-        h = jax.nn.sigmoid(h)
+            h, ns = bn_apply(
+                params["bns"][i], state["bns"][i], h, train, axes=(0, 1, 2)
+            )
+            new_bns.append(ns)
+            h = jax.nn.relu(h)
         return h, {"bns": new_bns}
+
+    def apply(self, params, state, z, train=False):
+        h, new_state = self.apply_head(params, state, z, train)
+        spec = self.layers[-1]
+        cp = params["convs"][-1]
+        h = (
+            conv_transpose2d(
+                h,
+                cp["w"],
+                stride=spec.get_stride(),
+                output_padding=spec.get_output_padding(),
+            )
+            + cp["b"]
+        )
+        h = jax.nn.sigmoid(h)
+        return h, new_state
 
 
 # --------------------------------------------------------------------------
@@ -796,7 +817,16 @@ class UNetDecoder:
                 state["bns"].append(bs)
         return params, state
 
-    def apply(self, params, state, z, skips, train=False, rng=None):
+    def apply_head(self, params, state, z, skips, train=False, rng=None):
+        """FC pyramid + every decoder stage *except the final ConvT*.
+
+        Returns ``(h, new_state)`` where ``h`` feeds the final ConvT — split
+        out so the fused last-stage training kernels
+        (``ops/pallas/train_tail``) can own the final stage + loss while the
+        BN/dropout-carrying interior stages keep train-mode behavior.  The
+        final stage consumes no rng (no dropout after the last ConvT), so
+        the split preserves the rng fold ordering exactly.
+        """
         if rng is None:
             rng = jax.random.PRNGKey(0)
         c, y, x = self.unflat_dims
@@ -812,39 +842,48 @@ class UNetDecoder:
         h = dropout(sub, h, self.dropout_rate, train)
         h = h.reshape(h.shape[0], y, x, c)
 
-        n_layers = len(self.layers)
         skips_rev = list(skips)[::-1]  # decoder consumes them reversed
-        for i, (spec, cp) in enumerate(zip(self.layers, params["convs"])):
+        for i, spec in enumerate(self.layers[:-1]):
+            cp = params["convs"][i]
             pad = spec.output_padding_hw
             # reference passes spec.output_padding as ConvT *padding*
             # (``unet.py:140``); auto specs have 0
             h = conv_transpose2d(
                 h, cp["w"], stride=spec.get_stride(), padding=pad
             ) + cp["b"]
-            if i != n_layers - 1:
-                if self.compat_concat:
-                    if params["attn"][i] is not None:
-                        # reference order (unet.py:155-161): gate, raw concat
-                        gate = channel_attention_apply(params["attn"][i], h)
-                        h = h * gate
-                        h = jnp.concatenate([h, skips_rev[i]], axis=-1)
-                elif params["attn"][i] is not None:
-                    si, _ = self._stage_skip(i)
-                    skip = skips[si]
+            if self.compat_concat:
+                if params["attn"][i] is not None:
+                    # reference order (unet.py:155-161): gate, raw concat
                     gate = channel_attention_apply(params["attn"][i], h)
                     h = h * gate
-                    sp = params["skip_proj"][i]
-                    skip = conv2d(skip, sp["w"]) + sp["b"]
-                    h = jnp.concatenate([h, skip], axis=-1)
-                    fp = params["fuse"][i]
-                    h = conv2d(h, fp["w"]) + fp["b"]
-                h, ns = bn_apply(
-                    params["bns"][i], state["bns"][i], h, train, axes=(0, 1, 2)
-                )
-                new_state["bns"].append(ns)
-                h = jax.nn.relu(h)
-                rng, sub = jax.random.split(rng)
-                h = dropout(sub, h, self.dropout_rate, train)
+                    h = jnp.concatenate([h, skips_rev[i]], axis=-1)
+            elif params["attn"][i] is not None:
+                si, _ = self._stage_skip(i)
+                skip = skips[si]
+                gate = channel_attention_apply(params["attn"][i], h)
+                h = h * gate
+                sp = params["skip_proj"][i]
+                skip = conv2d(skip, sp["w"]) + sp["b"]
+                h = jnp.concatenate([h, skip], axis=-1)
+                fp = params["fuse"][i]
+                h = conv2d(h, fp["w"]) + fp["b"]
+            h, ns = bn_apply(
+                params["bns"][i], state["bns"][i], h, train, axes=(0, 1, 2)
+            )
+            new_state["bns"].append(ns)
+            h = jax.nn.relu(h)
+            rng, sub = jax.random.split(rng)
+            h = dropout(sub, h, self.dropout_rate, train)
+        return h, new_state
+
+    def apply(self, params, state, z, skips, train=False, rng=None):
+        h, new_state = self.apply_head(params, state, z, skips, train, rng)
+        spec = self.layers[-1]
+        cp = params["convs"][-1]
+        h = conv_transpose2d(
+            h, cp["w"], stride=spec.get_stride(),
+            padding=spec.output_padding_hw,
+        ) + cp["b"]
         if self.final_sigmoid:
             h = jax.nn.sigmoid(h)
         return h, new_state

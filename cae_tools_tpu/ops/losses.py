@@ -72,6 +72,49 @@ def pearson_loss(pred, target, mask):
     return 1.0 - jnp.mean(masked_pearson(pred, target, mask))
 
 
+# ---- statistics-form twins (fused final-stage training) -------------------
+#
+# ``ops/pallas/train_tail.py::last_stage_masked_stats`` reduces the decoder's
+# full-resolution output o against target y and mask m into per-(image,
+# channel) masked moments without materializing o in HBM.  These twins
+# compute masked_mse / masked_pearson from those moments, replicating the
+# formulas above *including epsilon placement* so fused and XLA training
+# losses are numerically interchangeable.  ``w`` is the per-image batch
+# weight (train/loop.py batch padding); the effective mask is m·w per image,
+# so first/second moments scale by w and the squared-diff numerator by w².
+
+
+def masked_mse_from_stats(stats, w):
+    num = jnp.sum((w[:, None] ** 2) * stats["s2"])
+    c = stats["s2"].shape[1]
+    return num / (jnp.sum(w * stats["n_m"]) * c)
+
+
+def masked_pearson_from_stats(stats, w):
+    wv = w[:, None]  # (N, 1) -> broadcast over channels
+    nm = stats["n_m"][:, None]
+    msum = wv * nm + _EPS
+    mean_p = wv * stats["s_o"] / msum
+    mean_t = wv * stats["s_y"] / msum
+    # Σ m·w·(p − mean_p)² expanded in raw moments
+    var_p = wv * (
+        stats["s_oo"] - 2.0 * mean_p * stats["s_o"] + mean_p**2 * nm
+    )
+    var_t = wv * (
+        stats["s_yy"] - 2.0 * mean_t * stats["s_y"] + mean_t**2 * nm
+    )
+    std_p = jnp.sqrt(var_p / msum + _EPS)
+    std_t = jnp.sqrt(var_t / msum + _EPS)
+    num = wv * (
+        stats["s_oy"]
+        - mean_p * stats["s_y"]
+        - mean_t * stats["s_o"]
+        + mean_p * mean_t * nm
+    ) / (std_p * std_t)
+    den = wv * nm
+    return jnp.where(den > 0, num / jnp.maximum(den, _EPS), 0.0)
+
+
 def kl_divergence(mu, logvar):
     """KL(q(z|x) || N(0, I)), mean over batch, sum over latent dims."""
     return jnp.mean(

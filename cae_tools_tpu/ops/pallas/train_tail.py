@@ -1,0 +1,547 @@
+"""Fused last-stage *training* kernels: ConvT + activation + SSE loss.
+
+Training cannot reuse the multi-stage fused apply tail
+(``decoder_kernel.py``): interior stages carry train-mode BatchNorm whose
+batch statistics couple every image in the batch, while the apply kernel's
+grid is one image per step.  The *final* decoder stage has no BatchNorm
+(reference ``decoder.py:39-50`` — BN+ReLU between stages, none after the
+last; ``unet.py:114-163`` likewise), so its ConvT + sigmoid + squared-error
+against the training target fuses cleanly per image.
+
+That stage is the training step's HBM hot spot.  At the flagship
+16x16->256x256 geometry the full-resolution (256^2) tensors — the forward
+output, the sigmoid residual saved for backward, and the loss gradient —
+dominate the step's activation traffic; XLA materializes each of them (conv
+outputs are fusion roots, and the ConvT backward reads the 256^2 cotangent
+twice: once for d/dinput, once for d/dweight).  The fused pair never writes
+any 256^2 tensor to HBM:
+
+  forward:   sse_i = sum((act(convT(h_i, w) + b) - y_i)^2)     reads h, y
+  backward:  (dh_i, dw, db)  with the stage recomputed in VMEM  reads h, y
+
+The backward recomputes the stage output in VMEM (~0.5 MFLOP/image — far
+cheaper than the 256 KB/image HBM round-trip it replaces), forms the
+full-resolution gradient, and de-interleaves it into stride-2 parity planes
+with the *transposed* 0/1 expansion matmuls of the forward kernel
+(``decoder_kernel._expand_mats``).  The ConvT input-gradient is then a
+correlation with the same taps mirrored (+t where the forward reads -t),
+and the weight gradient is a per-tap masked reduction accumulated across
+the (sequential) TPU grid.
+
+Returning per-image SSE — not the scalar mean — keeps the trainer's
+weighted-batch semantics (``train/loop.py batch_weights``: zero-weight
+padding rows reproduce torch's smaller-final-batch loss exactly) outside
+the kernel: the per-image cotangent arrives in ``dsse`` and simply scales
+each image's gradient.
+
+All math is f32 (VPU taps, f32 MXU matmuls), so gradients are
+HIGHEST-precision grade regardless of the global conv precision knob —
+the fused path is *more* accurate than the 3-pass bf16 HIGH default it
+replaces, not less.
+
+Reference hot loop being outclassed: ``conv_ae_model.py:185-203`` (per-batch
+forward/backward of the torch decoder whose last stage materializes the
+full-resolution output, sigmoid grad and MSE grad in HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decoder_kernel import (
+    _MAX_K,
+    _MAX_OUT_PIXELS,
+    _MAX_TAIL_CIN,
+    _expand_mats,
+    _plane_rows,
+    _stage_fused,
+    _stage_geometry,
+    _taps,
+)
+
+
+def last_stage_eligible(spec) -> bool:
+    """True when the decoder's final LayerSpec fits the fused kernels:
+    stride 2, no output_padding, kernel <= 4, input channels <= 8, output
+    image within the VMEM guard (same constraints as the apply tail)."""
+    k_h, k_w = spec.kernel_hw
+    o_c, o_h, o_w = spec.get_output_dimensions()
+    return (
+        spec.get_stride() == 2
+        and not spec.get_output_padding()
+        and max(int(k_h), int(k_w)) <= _MAX_K
+        and int(spec.get_input_dimensions()[0]) <= _MAX_TAIL_CIN
+        and int(o_h) * int(o_w) <= _MAX_OUT_PIXELS
+    )
+
+
+def _nhwc_to_nchw(x):
+    n, h, w, c = x.shape
+    if c == 1:  # same buffer layout; reshape is free
+        return x.reshape(n, 1, h, w)
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+# --------------------------------------------------------------------------
+# kernel bodies
+# --------------------------------------------------------------------------
+
+def _sse_fwd_kernel(x_ref, y_ref, w_ref, b_ref, er_ref, fc_ref, sse_ref,
+                    *, geom, act):
+    cin = geom[2]
+    chans = [x_ref[0, c] for c in range(cin)]
+    outs = _stage_fused(chans, w_ref, b_ref, 0, 0, geom, act, er_ref, fc_ref)
+    acc = None
+    for co, o in enumerate(outs):
+        d = o - y_ref[0, co]
+        s = jnp.sum(d * d)
+        acc = s if acc is None else acc + s
+    # whole-(n,) SMEM block shared across the sequential grid (Mosaic
+    # requires sub-blocks be (8,128)-divisible; a full block is exempt)
+    sse_ref[pl.program_id(0)] = acc
+
+
+def _stage_backprop(chans, ggs, w_ref, eat_ref, fbt_ref,
+                    dx_ref, dw_ref, db_ref, geom):
+    """Given post-activation-grad full-resolution cotangents ``ggs`` (one
+    (o_h, o_w) array per output channel), backprop the stride-2 ConvT:
+    write this image's ``dx`` block and accumulate ``dw``/``db`` into the
+    shared SMEM blocks (the TPU grid is sequential).  Shared by every
+    fused-training-loss kernel (SSE and masked-stats)."""
+    k_h, k_w, cin, cout, i_h, i_w, _o_h, _o_w = geom
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for j in range(k_h * k_w * cin * cout):
+            dw_ref[j] = 0.0
+        for co in range(cout):
+            db_ref[co] = 0.0
+
+    planes = []  # per-co {(a, b): G_ab} stride-2 parity planes of the grad
+    for co in range(cout):
+        gg = ggs[co]
+        db_ref[co] = db_ref[co] + jnp.sum(gg)
+        # de-interleave rows then columns with the transposed 0/1 matrices:
+        # P_a[m] = gg[2m+a] ; G_ab[m, n] = gg[2m+a, 2n+b]
+        p0 = jnp.dot(eat_ref[0], gg, preferred_element_type=jnp.float32)
+        p1 = jnp.dot(eat_ref[1], gg, preferred_element_type=jnp.float32)
+        planes.append({
+            (0, 0): jnp.dot(p0, fbt_ref[0], preferred_element_type=jnp.float32),
+            (0, 1): jnp.dot(p0, fbt_ref[1], preferred_element_type=jnp.float32),
+            (1, 0): jnp.dot(p1, fbt_ref[0], preferred_element_type=jnp.float32),
+            (1, 1): jnp.dot(p1, fbt_ref[1], preferred_element_type=jnp.float32),
+        })
+
+    def w_at(ki, kj, ci, co):
+        return w_ref[((ki * k_w + kj) * cin + ci) * cout + co]
+
+    # dx[p, q, ci] = sum_{co, taps} G_ab[p + t_i, q + t_j] * w[ki, kj, ci, co]
+    # (the forward reads x[m - t]; its transpose reads the planes at +t)
+    for ci in range(cin):
+        acc = None
+        for co in range(cout):
+            for a in (0, 1):
+                for (ti, ki) in _taps(k_h, a):
+                    for b2 in (0, 1):
+                        for (tj, kj) in _taps(k_w, b2):
+                            term = (
+                                planes[co][(a, b2)][ti : ti + i_h,
+                                                    tj : tj + i_w]
+                                * w_at(ki, kj, ci, co)
+                            )
+                            acc = term if acc is None else acc + term
+        dx_ref[0, ci] = (
+            acc if acc is not None else jnp.zeros((i_h, i_w), jnp.float32)
+        )
+
+    # dw[ki, kj, ci, co] = sum_p x[p] * G_ab[p + t] — accumulated across the
+    # sequential grid into the shared SMEM block
+    for co in range(cout):
+        for a in (0, 1):
+            for (ti, ki) in _taps(k_h, a):
+                for b2 in (0, 1):
+                    for (tj, kj) in _taps(k_w, b2):
+                        g_sl = planes[co][(a, b2)][ti : ti + i_h,
+                                                   tj : tj + i_w]
+                        for ci in range(cin):
+                            j = ((ki * k_w + kj) * cin + ci) * cout + co
+                            dw_ref[j] = dw_ref[j] + jnp.sum(chans[ci] * g_sl)
+
+
+def _sse_bwd_kernel(x_ref, y_ref, w_ref, b_ref, g_ref, er_ref, fc_ref,
+                    eat_ref, fbt_ref, dx_ref, dw_ref, db_ref, *, geom, act):
+    cin, cout = geom[2], geom[3]
+    chans = [x_ref[0, c] for c in range(cin)]
+    # recompute the stage output in VMEM — identical math to the forward
+    # kernel, so the gradient is consistent to the bit
+    outs = _stage_fused(chans, w_ref, b_ref, 0, 0, geom, act, er_ref, fc_ref)
+    # d(sse)/d(out) = 2*(out - y) * per-image cotangent
+    scale = 2.0 * g_ref[pl.program_id(0)]
+    ggs = []
+    for co in range(cout):
+        o = outs[co]
+        gg = (o - y_ref[0, co]) * scale
+        if act == "sigmoid":
+            gg = gg * (o * (1.0 - o))
+        ggs.append(gg)
+    _stage_backprop(chans, ggs, w_ref, eat_ref, fbt_ref,
+                    dx_ref, dw_ref, db_ref, geom)
+
+
+# --------------------------------------------------------------------------
+# masked-statistics kernels (UNET training loss)
+# --------------------------------------------------------------------------
+#
+# The UNET content loss (masked MSE + masked Pearson, ``unet_model.py``;
+# reference ``unet.py:316-321,635-678``) is a pure function of seven
+# per-(image, channel) masked sufficient statistics of the final-stage
+# output o against target y and spatial mask m:
+#
+#   n_m = Σ m        s_o  = Σ m·o        s_y  = Σ m·y
+#   s_oo = Σ m·o²    s_yy = Σ m·y²       s_oy = Σ m·o·y
+#   s2   = Σ m²·(o−y)²          (masked-MSE numerator; m² because the
+#                                reference squares the *masked* diff)
+#
+# so the full-resolution output never needs to leave VMEM during training:
+# the forward emits 7 scalars per (image, channel) and the host computes
+# mse/Pearson (ops/losses.py::stats_* twins of masked_mse/masked_pearson).
+# The backward is again a recompute-in-VMEM: every stat's output-cotangent
+# is of the form
+#
+#   dL/do = m·(α + β·o + γ·y) + m²·δ·(o−y)
+#
+# with per-(image, channel) scalars α = d(s_o), β = 2·d(s_oo),
+# γ = d(s_oy), δ = 2·d(s2) — the same shape as the SSE kernel's cotangent
+# (α=γ=0 there), so both share ``_stage_backprop``.
+
+
+def _stats_fwd_kernel(x_ref, y_ref, m_ref, w_ref, b_ref, er_ref, fc_ref,
+                      nm_ref, so_ref, sy_ref, soo_ref, syy_ref, soy_ref,
+                      s2_ref, *, geom, act):
+    cin, cout = geom[2], geom[3]
+    i = pl.program_id(0)
+    chans = [x_ref[0, c] for c in range(cin)]
+    outs = _stage_fused(chans, w_ref, b_ref, 0, 0, geom, act, er_ref, fc_ref)
+    mm = m_ref[0, 0]
+    nm_ref[i] = jnp.sum(mm)
+    mm2 = mm * mm
+    for co in range(cout):
+        o = outs[co]
+        y = y_ref[0, co]
+        j = i * cout + co
+        so_ref[j] = jnp.sum(mm * o)
+        sy_ref[j] = jnp.sum(mm * y)
+        soo_ref[j] = jnp.sum(mm * o * o)
+        syy_ref[j] = jnp.sum(mm * y * y)
+        soy_ref[j] = jnp.sum(mm * o * y)
+        d = o - y
+        s2_ref[j] = jnp.sum(mm2 * d * d)
+
+
+def _stats_bwd_kernel(x_ref, y_ref, m_ref, w_ref, b_ref, al_ref, be_ref,
+                      ga_ref, de_ref, er_ref, fc_ref, eat_ref, fbt_ref,
+                      dx_ref, dw_ref, db_ref, *, geom, act):
+    cin, cout = geom[2], geom[3]
+    i = pl.program_id(0)
+    chans = [x_ref[0, c] for c in range(cin)]
+    outs = _stage_fused(chans, w_ref, b_ref, 0, 0, geom, act, er_ref, fc_ref)
+    mm = m_ref[0, 0]
+    mm2 = mm * mm
+    ggs = []
+    for co in range(cout):
+        o = outs[co]
+        y = y_ref[0, co]
+        j = i * cout + co
+        gg = mm * (al_ref[j] + be_ref[j] * o + ga_ref[j] * y) + (
+            mm2 * de_ref[j]
+        ) * (o - y)
+        if act == "sigmoid":
+            gg = gg * (o * (1.0 - o))
+        ggs.append(gg)
+    _stage_backprop(chans, ggs, w_ref, eat_ref, fbt_ref,
+                    dx_ref, dw_ref, db_ref, geom)
+
+
+# --------------------------------------------------------------------------
+# host-side wrappers
+# --------------------------------------------------------------------------
+
+def _mats(geom):
+    o_h, o_w = geom[6], geom[7]
+    m_h, m_w = _plane_rows(o_h), _plane_rows(o_w)
+    er = _expand_mats(m_h, o_h)  # (2, o_h, m_h) row-expansion
+    fc = np.transpose(_expand_mats(m_w, o_w), (0, 2, 1))  # (2, m_w, o_w)
+    eat = np.transpose(er, (0, 2, 1))  # (2, m_h, o_h) row de-interleave
+    fbt = _expand_mats(m_w, o_w)  # (2, o_w, m_w) col de-interleave
+    return tuple(jnp.asarray(a) for a in (er, fc, eat, fbt))
+
+
+def _const_spec(arr):
+    nd = arr.ndim
+    return pl.BlockSpec(arr.shape, lambda i: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _run_sse_fwd(x, y, w_flat, b, geom, act, interpret):
+    n = x.shape[0]
+    _kh, _kw, cin, cout, i_h, i_w, o_h, o_w = geom
+    er, fc, _eat, _fbt = _mats(geom)
+    kernel = functools.partial(_sse_fwd_kernel, geom=geom, act=act)
+    sse = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _const_spec(er),
+            _const_spec(fc),
+        ],
+        out_specs=pl.BlockSpec((n,), lambda i: (0,),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
+        interpret=interpret,
+    )(x, y, w_flat, b, er, fc)
+    return sse
+
+
+def _run_sse_bwd(x, y, w_flat, b, dsse, geom, act, interpret):
+    n = x.shape[0]
+    k_h, k_w, cin, cout, i_h, i_w, o_h, o_w = geom
+    er, fc, eat, fbt = _mats(geom)
+    wn = k_h * k_w * cin * cout
+    kernel = functools.partial(_sse_bwd_kernel, geom=geom, act=act)
+    dx, dw, db = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.SMEM),
+            _const_spec(er),
+            _const_spec(fc),
+            _const_spec(eat),
+            _const_spec(fbt),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wn,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, cin, i_h, i_w), jnp.float32),
+            jax.ShapeDtypeStruct((wn,), jnp.float32),
+            jax.ShapeDtypeStruct((cout,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, y, w_flat, b, dsse, er, fc, eat, fbt)
+    return dx, dw, db
+
+
+def _run_stats_fwd(x, y, m, w_flat, b, geom, act, interpret):
+    n = x.shape[0]
+    _kh, _kw, cin, cout, i_h, i_w, o_h, o_w = geom
+    er, fc, _eat, _fbt = _mats(geom)
+    kernel = functools.partial(_stats_fwd_kernel, geom=geom, act=act)
+    flat = pl.BlockSpec((n * cout,), lambda i: (0,), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _const_spec(er),
+            _const_spec(fc),
+        ],
+        out_specs=[pl.BlockSpec((n,), lambda i: (0,),
+                                memory_space=pltpu.SMEM)] + [flat] * 6,
+        out_shape=[jax.ShapeDtypeStruct((n,), jnp.float32)]
+        + [jax.ShapeDtypeStruct((n * cout,), jnp.float32)] * 6,
+        interpret=interpret,
+    )(x, y, m, w_flat, b, er, fc)
+    return tuple(out)
+
+
+def _run_stats_bwd(x, y, m, w_flat, b, coeffs, geom, act, interpret):
+    n = x.shape[0]
+    k_h, k_w, cin, cout, i_h, i_w, o_h, o_w = geom
+    er, fc, eat, fbt = _mats(geom)
+    wn = k_h * k_w * cin * cout
+    kernel = functools.partial(_stats_bwd_kernel, geom=geom, act=act)
+    flat = pl.BlockSpec((n * cout,), lambda i: (0,), memory_space=pltpu.SMEM)
+    dx, dw, db = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            flat, flat, flat, flat,
+            _const_spec(er),
+            _const_spec(fc),
+            _const_spec(eat),
+            _const_spec(fbt),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wn,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, cin, i_h, i_w), jnp.float32),
+            jax.ShapeDtypeStruct((wn,), jnp.float32),
+            jax.ShapeDtypeStruct((cout,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, y, m, w_flat, b, *coeffs, er, fc, eat, fbt)
+    return dx, dw, db
+
+
+# --------------------------------------------------------------------------
+# custom-VJP core + public API
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _sse_core(geom, act, interpret, x, w_flat, b, y):
+    return _run_sse_fwd(x, y, w_flat, b, geom, act, interpret)
+
+
+def _sse_fwd_rule(geom, act, interpret, x, w_flat, b, y):
+    sse = _run_sse_fwd(x, y, w_flat, b, geom, act, interpret)
+    return sse, (x, w_flat, b, y)
+
+
+def _sse_bwd_rule(geom, act, interpret, res, dsse):
+    x, w_flat, b, y = res
+    dx, dw, db = _run_sse_bwd(
+        x, y, w_flat, b,
+        dsse.astype(jnp.float32).reshape(-1), geom, act, interpret,
+    )
+    # y is training data — its cotangent is never consumed (XLA dead-code
+    # eliminates the zeros); returning -d(out-grad) would force the very
+    # full-resolution HBM write the kernel exists to avoid
+    return dx, dw, db, jnp.zeros_like(y)
+
+
+_sse_core.defvjp(_sse_fwd_rule, _sse_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _stats_core(geom, act, interpret, x, w_flat, b, y, m):
+    return _run_stats_fwd(x, y, m, w_flat, b, geom, act, interpret)
+
+
+def _stats_fwd_rule(geom, act, interpret, x, w_flat, b, y, m):
+    stats = _run_stats_fwd(x, y, m, w_flat, b, geom, act, interpret)
+    return stats, (x, w_flat, b, y, m)
+
+
+def _stats_bwd_rule(geom, act, interpret, res, dstats):
+    x, w_flat, b, y, m = res
+    _dnm, dso, _dsy, dsoo, _dsyy, dsoy, ds2 = dstats
+    # dL/do = m·(α + β·o + γ·y) + m²·δ·(o−y); the y-/m-only stats carry no
+    # output dependence (their cotangents flow only into the training data)
+    coeffs = tuple(
+        c.astype(jnp.float32).reshape(-1)
+        for c in (dso, 2.0 * dsoo, dsoy, 2.0 * ds2)
+    )
+    dx, dw, db = _run_stats_bwd(x, y, m, w_flat, b, coeffs, geom, act,
+                                interpret)
+    return dx, dw, db, jnp.zeros_like(y), jnp.zeros_like(m)
+
+
+_stats_core.defvjp(_stats_fwd_rule, _stats_bwd_rule)
+
+
+def last_stage_masked_stats(w, b, h_nhwc, y_nhwc, m_nhw1, final_act="sigmoid",
+                            interpret=False):
+    """Masked sufficient statistics of the fused final decoder stage.
+
+    Computes ``o = act(convT_s2(h, w) + b)`` entirely in VMEM and returns
+    per-(image, channel) reductions against target ``y`` and spatial mask
+    ``m``::
+
+        {"n_m": (N,), "s_o"|"s_y"|"s_oo"|"s_yy"|"s_oy"|"s2": (N, C)}
+
+    where ``s2 = Σ m²·(o−y)²`` (the masked-MSE numerator) and the rest are
+    the plain first/second masked moments.  Together they determine the
+    UNET content loss (masked MSE + masked Pearson — see
+    ``ops/losses.py::masked_mse_from_stats``/``masked_pearson_from_stats``)
+    without ever writing the full-resolution output, its activation-grad,
+    or its loss-grad to HBM.  Differentiable in ``w``, ``b``, ``h`` with an
+    analytic fused backward (``_stats_bwd_kernel``).
+
+    ``m_nhw1``: (N, oh, ow, 1) float mask (ones when the dataset has no
+    mask variable — ``data/dataset.py::arrays_nhwc``).
+    """
+    k_h, k_w = int(w.shape[0]), int(w.shape[1])
+    cin, cout = int(w.shape[2]), int(w.shape[3])
+    n, i_h, i_w, _ = h_nhwc.shape
+    o_h, o_w = _stage_geometry(int(i_h), int(i_w), k_h, k_w)
+    geom = (k_h, k_w, cin, cout, int(i_h), int(i_w), o_h, o_w)
+    x = _nhwc_to_nchw(h_nhwc).astype(jnp.float32)
+    yy = _nhwc_to_nchw(y_nhwc).astype(jnp.float32)
+    mm = _nhwc_to_nchw(m_nhw1).astype(jnp.float32)
+    nm, so, sy, soo, syy, soy, s2 = _stats_core(
+        geom, final_act, bool(interpret), x,
+        w.astype(jnp.float32).reshape(-1),
+        b.astype(jnp.float32).reshape(-1), yy, mm,
+    )
+    pc = lambda a: a.reshape(n, cout)  # noqa: E731
+    return {
+        "n_m": nm, "s_o": pc(so), "s_y": pc(sy), "s_oo": pc(soo),
+        "s_yy": pc(syy), "s_oy": pc(soy), "s2": pc(s2),
+    }
+
+
+def last_stage_sse(w, b, h_nhwc, y_nhwc, final_act="sigmoid",
+                   interpret=False):
+    """Per-image SSE of the fused final decoder stage.
+
+    ``sse[i] = sum((act(convT_s2(h[i], w) + b) - y[i])**2)`` with a fused
+    Pallas forward and an analytic fused backward (d/dh, d/dw, d/db).
+
+    ``w``: (kh, kw, cin, cout) HWIO pre-flipped (the library convention,
+    ``ops/convops.py``); ``h_nhwc``: (N, ih, iw, cin) input to the final
+    stage; ``y_nhwc``: (N, oh, ow, cout) normalised target.
+    Differentiable in ``w``, ``b``, ``h`` (use it directly inside a loss).
+    """
+    k_h, k_w = int(w.shape[0]), int(w.shape[1])
+    cin, cout = int(w.shape[2]), int(w.shape[3])
+    n, i_h, i_w, _ = h_nhwc.shape
+    o_h, o_w = _stage_geometry(int(i_h), int(i_w), k_h, k_w)
+    geom = (k_h, k_w, cin, cout, int(i_h), int(i_w), o_h, o_w)
+    x = _nhwc_to_nchw(h_nhwc).astype(jnp.float32)
+    yy = _nhwc_to_nchw(y_nhwc).astype(jnp.float32)
+    return _sse_core(
+        geom, final_act, bool(interpret), x,
+        w.astype(jnp.float32).reshape(-1),
+        b.astype(jnp.float32).reshape(-1), yy,
+    )

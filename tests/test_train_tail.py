@@ -1,0 +1,339 @@
+"""Fused last-stage training kernels (ConvT+act+SSE with analytic VJP):
+value and gradient parity vs the XLA path (interpret mode on CPU; the
+compiled path runs on real TPU via bench's train_convae metric)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cae_tools_tpu.models.sizer import create_model_spec
+from cae_tools_tpu.nn import modules as M
+from cae_tools_tpu.ops import convops
+from cae_tools_tpu.ops.pallas.train_tail import (
+    last_stage_eligible,
+    last_stage_sse,
+)
+
+
+def _last_stage(spec, seed=0):
+    """(w, b, h, y) for the final decoder stage of an auto spec."""
+    layer = spec.output_layers[-1]
+    k_h, k_w = layer.kernel_hw
+    cin = int(layer.get_input_dimensions()[0])
+    cout = int(layer.get_output_dimensions()[0])
+    i_h = int(layer.get_input_dimensions()[1])
+    i_w = int(layer.get_input_dimensions()[2])
+    o_h = int(layer.get_output_dimensions()[1])
+    o_w = int(layer.get_output_dimensions()[2])
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.normal(size=(k_h, k_w, cin, cout)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32) * 0.1)
+    h = jnp.asarray(rng.normal(size=(3, i_h, i_w, cin)).astype(np.float32))
+    y = jnp.asarray(rng.random(size=(3, o_h, o_w, cout)).astype(np.float32))
+    return w, b, h, y
+
+
+def _sse_ref(w, b, h, y, act):
+    out = convops.conv_transpose2d(h, w, stride=2) + b
+    if act == "sigmoid":
+        out = jax.nn.sigmoid(out)
+    return jnp.sum((out - y) ** 2, axis=(1, 2, 3))
+
+
+@pytest.mark.parametrize(
+    "in_size,out_size,out_ch,act",
+    [
+        ((16, 16), (96, 96), 2, "sigmoid"),   # multi-channel final stage
+        ((16, 16), (250, 254), 1, "sigmoid"), # odd/even non-square output
+        ((16, 16), (96, 96), 1, "linear"),    # UNETRes residual head
+    ],
+)
+def test_last_stage_sse_value_and_grads(in_size, out_size, out_ch, act):
+    convops.set_precision("highest")
+    try:
+        spec = create_model_spec(
+            input_size=in_size, input_channels=1,
+            output_size=out_size, output_channels=out_ch,
+        )
+        assert last_stage_eligible(spec.output_layers[-1])
+        w, b, h, y = _last_stage(spec)
+        # weighted scalarization exercises a non-uniform per-image cotangent
+        cot = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)
+
+        def scalar_fused(w, b, h):
+            return jnp.sum(
+                last_stage_sse(w, b, h, y, final_act=act, interpret=True)
+                * cot
+            )
+
+        def scalar_ref(w, b, h):
+            return jnp.sum(_sse_ref(w, b, h, y, act) * cot)
+
+        v_f, g_f = jax.value_and_grad(scalar_fused, argnums=(0, 1, 2))(w, b, h)
+        v_r, g_r = jax.value_and_grad(scalar_ref, argnums=(0, 1, 2))(w, b, h)
+        np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-5)
+        for a_f, a_r, name in zip(g_f, g_r, ("dw", "db", "dh")):
+            np.testing.assert_allclose(
+                np.asarray(a_f), np.asarray(a_r), rtol=1e-4, atol=1e-4,  # f32 summation-order noise
+                err_msg=name,
+            )
+    finally:
+        convops.set_precision("high")
+
+
+def test_convae_fused_loss_matches_xla_loss():
+    """ConvAEModel's fused train loss == its XLA loss (value + grads)."""
+    from cae_tools_tpu.models.conv_ae_model import ConvAEModel
+
+    convops.set_precision("highest")
+    try:
+        mt = ConvAEModel(encoded_dim_size=8, fc_size=16)
+        mt.spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(96, 96), output_channels=1,
+        )
+        mt._build_modules()
+        mt._init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        batch = {
+            "x": jnp.asarray(rng.random((4, 16, 16, 1), dtype=np.float32)),
+            "y": jnp.asarray(rng.random((4, 96, 96, 1), dtype=np.float32)),
+            # zero-weight row = padded sample (train/loop.py batch_weights)
+            "w": jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
+        }
+
+        def run(flag):
+            os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = flag
+            try:
+                loss_fn = mt._make_loss_fn()
+            finally:
+                del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+            def scalar(params):
+                loss, _ = loss_fn(
+                    params, mt.state, jax.random.PRNGKey(0), batch, True
+                )
+                return loss
+
+            return jax.value_and_grad(scalar)(mt.params)
+
+        v_f, g_f = run("1")
+        v_x, g_x = run("0")
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+        flat_f = jax.tree_util.tree_leaves(g_f)
+        flat_x = jax.tree_util.tree_leaves(g_x)
+        assert len(flat_f) == len(flat_x)
+        for a_f, a_x in zip(flat_f, flat_x):
+            np.testing.assert_allclose(
+                np.asarray(a_f), np.asarray(a_x), rtol=2e-5, atol=2e-5
+            )
+    finally:
+        convops.set_precision("high")
+
+
+def test_fused_train_tail_gating():
+    """Mesh>1 and ineligible geometry must fall back to the XLA loss."""
+    from cae_tools_tpu.models.conv_ae_model import ConvAEModel
+
+    mt = ConvAEModel(encoded_dim_size=8, fc_size=16)
+    mt.spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(96, 96), output_channels=1,
+    )
+    mt._build_modules()
+    os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
+    try:
+        assert mt._use_fused_train_tail()
+        if jax.device_count() > 1:
+            from cae_tools_tpu.parallel.mesh import get_mesh
+
+            mt.set_mesh(get_mesh(jax.device_count()))
+            assert not mt._use_fused_train_tail()
+            mt.set_mesh(None)
+    finally:
+        del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+
+# --------------------------------------------------------------------------
+# masked-statistics kernels (UNET training loss)
+# --------------------------------------------------------------------------
+
+def _masked_batch(spec, n=3, seed=0, zero_mask_row=False):
+    layer = spec.output_layers[-1]
+    _, o_h, o_w = (int(v) for v in layer.get_output_dimensions())
+    rng = np.random.default_rng(seed)
+    w, b, h, y = _last_stage(spec, seed)
+    m = (rng.random(size=(n, o_h, o_w, 1)) > 0.3).astype(np.float32)
+    if zero_mask_row:
+        m[1] = 0.0  # fully-masked-out image: Pearson's 0/0 guard
+    return w, b, h, y, jnp.asarray(m)
+
+
+def test_masked_stats_values_match_xla():
+    from cae_tools_tpu.ops.pallas.train_tail import last_stage_masked_stats
+
+    convops.set_precision("highest")
+    try:
+        spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(96, 96), output_channels=2,
+        )
+        w, b, h, y, m = _masked_batch(spec, zero_mask_row=True)
+        stats = last_stage_masked_stats(w, b, h, y, m, interpret=True)
+
+        out = convops.conv_transpose2d(h, w, stride=2) + b
+        out = jax.nn.sigmoid(out)
+        mm = jnp.broadcast_to(m, out.shape)
+        axes = (1, 2)
+        ref = {
+            "n_m": jnp.sum(m[..., 0], axis=(1, 2)),
+            "s_o": jnp.sum(mm * out, axis=axes),
+            "s_y": jnp.sum(mm * y, axis=axes),
+            "s_oo": jnp.sum(mm * out * out, axis=axes),
+            "s_yy": jnp.sum(mm * y * y, axis=axes),
+            "s_oy": jnp.sum(mm * out * y, axis=axes),
+            "s2": jnp.sum((mm * (out - y)) ** 2, axis=axes),
+        }
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(stats[k]), np.asarray(ref[k]),
+                rtol=1e-4, atol=1e-4, err_msg=k,
+            )
+    finally:
+        convops.set_precision("high")
+
+
+def test_masked_stats_loss_and_grads_match_xla():
+    """masked MSE + Pearson built from the fused stats == the XLA content
+    loss on the full-resolution output — value and (dw, db, dh) grads."""
+    from cae_tools_tpu.ops import losses as L
+    from cae_tools_tpu.ops.pallas.train_tail import last_stage_masked_stats
+
+    convops.set_precision("highest")
+    try:
+        spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(96, 96), output_channels=1,
+        )
+        w, b, h, y, m = _masked_batch(spec, zero_mask_row=True)
+        bw = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)  # padded last row
+
+        def loss_fused(w_, b_, h_):
+            stats = last_stage_masked_stats(w_, b_, h_, y, m, interpret=True)
+            mse = L.masked_mse_from_stats(stats, bw)
+            corr = L.masked_pearson_from_stats(stats, bw)
+            wsum = jnp.maximum(jnp.sum(bw), 1.0)
+            corr_mean = jnp.sum(jnp.mean(corr, axis=1) * bw) / wsum
+            return mse + (1.0 - corr_mean)
+
+        def loss_xla(w_, b_, h_):
+            out = jax.nn.sigmoid(
+                convops.conv_transpose2d(h_, w_, stride=2) + b_
+            )
+            mask = jnp.broadcast_to(m, out.shape) * bw[:, None, None, None]
+            mse = L.masked_mse(out, y, mask)
+            corr = L.masked_pearson(out, y, mask)
+            wsum = jnp.maximum(jnp.sum(bw), 1.0)
+            corr_mean = jnp.sum(jnp.mean(corr, axis=1) * bw) / wsum
+            return mse + (1.0 - corr_mean)
+
+        v_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(w, b, h)
+        v_x, g_x = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(w, b, h)
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+        for a_f, a_x, name in zip(g_f, g_x, ("dw", "db", "dh")):
+            np.testing.assert_allclose(
+                np.asarray(a_f), np.asarray(a_x), rtol=1e-4, atol=1e-5,
+                err_msg=name,
+            )
+    finally:
+        convops.set_precision("high")
+
+
+def test_unet_fused_loss_matches_xla_loss():
+    """UNET's fused train loss == its XLA loss (value + grads + aux),
+    dropout and train-mode BN engaged."""
+    from cae_tools_tpu.models.unet_model import UNET
+
+    convops.set_precision("highest")
+    try:
+        mt = UNET(encoded_dim_size=8, fc_size=16, dropout_rate=0.2)
+        mt.spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(96, 96), output_channels=1,
+        )
+        mt.input_shape = (1, 16, 16)
+        mt.output_shape = (1, 96, 96)
+        mt._build_modules()
+        mt._init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(5)
+        mask = (rng.random((4, 96, 96, 1)) > 0.2).astype(np.float32)
+        batch = {
+            "x": jnp.asarray(rng.random((4, 16, 16, 1), dtype=np.float32)),
+            "y": jnp.asarray(rng.random((4, 96, 96, 1), dtype=np.float32)),
+            "m": jnp.asarray(mask),
+            "w": jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
+        }
+
+        def run(flag):
+            os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = flag
+            try:
+                loss_fn = mt._make_loss_fn()
+            finally:
+                del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+            def scalar(params):
+                loss, (_, aux) = loss_fn(
+                    params, mt.state, jax.random.PRNGKey(7), batch, True
+                )
+                return loss, aux
+
+            (v, aux), g = jax.value_and_grad(scalar, has_aux=True)(mt.params)
+            return v, aux, g
+
+        v_f, aux_f, g_f = run("1")
+        v_x, aux_x, g_x = run("0")
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(aux_f["mse"]), float(aux_x["mse"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(aux_f["pearson_loss"]), float(aux_x["pearson_loss"]),
+            rtol=1e-4, atol=1e-7,
+        )
+        flat_f = jax.tree_util.tree_leaves(g_f)
+        flat_x = jax.tree_util.tree_leaves(g_x)
+        assert len(flat_f) == len(flat_x)
+        for a_f, a_x in zip(flat_f, flat_x):
+            np.testing.assert_allclose(
+                np.asarray(a_f), np.asarray(a_x), rtol=2e-4, atol=2e-5
+            )
+    finally:
+        convops.set_precision("high")
+
+
+def test_unet_fused_tail_gating():
+    """additional-loss and residual variants must keep the XLA loss."""
+    from cae_tools_tpu.models.unet_model import UNET, UNETRes
+
+    os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
+    try:
+        mt = UNET(encoded_dim_size=8, fc_size=16)
+        mt.spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(96, 96), output_channels=1,
+        )
+        mt.input_shape = (1, 16, 16)
+        mt.output_shape = (1, 96, 96)
+        mt._build_modules()
+        assert mt._use_fused_train_tail()
+        mt.additional_loss = "perceptual"
+        assert not mt._use_fused_train_tail()
+
+        rt = UNETRes(encoded_dim_size=8, fc_size=16)
+        assert not rt._use_fused_train_tail()
+    finally:
+        del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]

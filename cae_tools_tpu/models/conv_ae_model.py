@@ -232,17 +232,20 @@ class ConvAEModel(BaseModel):
     def _use_fused_train_tail(self):
         """Fused ConvT+sigmoid+SSE Pallas pair on the training loss (TPU
         default).  ``CAE_TPU_FUSED_TRAIN_TAIL=1|0`` overrides; the final
-        decoder stage must satisfy ``train_tail.last_stage_eligible`` and
-        the run must be single-device (the kernel is not partitioned for
-        GSPMD meshes — DP/TP runs keep the XLA loss).  f32 kernel math, so
-        gradients are HIGHEST-grade regardless of the conv precision knob.
+        decoder stage must satisfy ``train_tail.last_stage_eligible``.
+        Under a data-parallel mesh the kernel runs per batch shard via
+        ``shard_map`` (``train_tail._shard_map_batch``); meshes with a
+        tensor-parallel "model" axis >1 keep the XLA loss (the kernel
+        would compute redundantly on every model-axis device).  f32 kernel
+        math, so gradients are HIGHEST-grade regardless of the conv
+        precision knob.
         """
         choice = os.environ.get("CAE_TPU_FUSED_TRAIN_TAIL")
         if choice is not None and choice != "1":
             return False
         if choice is None and jax.default_backend() != "tpu":
             return False
-        if self.mesh is not None and self.mesh.size > 1:
+        if self.mesh is not None and int(self.mesh.shape.get("model", 1)) > 1:
             return False
         from ..ops.pallas.train_tail import last_stage_eligible
 
@@ -258,6 +261,7 @@ class ConvAEModel(BaseModel):
             from ..ops.pallas.train_tail import last_stage_sse
 
             interpret = jax.default_backend() != "tpu"
+            mesh = self.mesh
             o_c, o_h, o_w = decoder.layers[-1].get_output_dimensions()
             denom = float(o_c * o_h * o_w)
 
@@ -270,7 +274,8 @@ class ConvAEModel(BaseModel):
                 )
                 cp = params["decoder"]["convs"][-1]
                 sse = last_stage_sse(
-                    cp["w"], cp["b"], h, batch["y"], interpret=interpret
+                    cp["w"], cp["b"], h, batch["y"], interpret=interpret,
+                    mesh=mesh,
                 )
                 per_sample = sse / denom
                 w = batch["w"]

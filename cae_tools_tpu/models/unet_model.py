@@ -264,16 +264,18 @@ class UNET(BaseModel):
         ``CAE_TPU_FUSED_TRAIN_TAIL=1|0`` overrides; requires the plain-UNET
         forward (residual variants override ``_net_apply``), a sigmoid
         head, no ``--additional-loss`` (those need the full-resolution
-        output), a single device (the kernel is not GSPMD-partitioned) and
-        ``train_tail.last_stage_eligible`` geometry.  f32 kernel math, so
-        gradients are HIGHEST-grade regardless of the conv precision knob.
+        output) and ``train_tail.last_stage_eligible`` geometry.  Under a
+        data-parallel mesh the kernel runs per batch shard via
+        ``shard_map``; meshes with a tensor-parallel "model" axis >1 keep
+        the XLA loss.  f32 kernel math, so gradients are HIGHEST-grade
+        regardless of the conv precision knob.
         """
         choice = os.environ.get("CAE_TPU_FUSED_TRAIN_TAIL")
         if choice is not None and choice != "1":
             return False
         if choice is None and jax.default_backend() != "tpu":
             return False
-        if self.mesh is not None and self.mesh.size > 1:
+        if self.mesh is not None and int(self.mesh.shape.get("model", 1)) > 1:
             return False
         if getattr(self, "additional_loss", None):
             return False
@@ -293,6 +295,7 @@ class UNET(BaseModel):
         encoder, decoder = self.encoder, self.decoder
         lambda_pearson = self.lambda_pearson
         interpret = jax.default_backend() != "tpu"
+        mesh = self.mesh
 
         def loss_fn(params, state, rng, batch, train):
             r_enc = r_dec = None
@@ -309,7 +312,7 @@ class UNET(BaseModel):
             cp = params["decoder"]["convs"][-1]
             stats = last_stage_masked_stats(
                 cp["w"], cp["b"], h, batch["y"], batch["m"],
-                interpret=interpret,
+                interpret=interpret, mesh=mesh,
             )
             w = batch["w"]
             mse = L.masked_mse_from_stats(stats, w)

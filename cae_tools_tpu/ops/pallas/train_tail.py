@@ -481,7 +481,7 @@ _stats_core.defvjp(_stats_fwd_rule, _stats_bwd_rule)
 
 
 def last_stage_masked_stats(w, b, h_nhwc, y_nhwc, m_nhw1, final_act="sigmoid",
-                            interpret=False):
+                            interpret=False, mesh=None):
     """Masked sufficient statistics of the fused final decoder stage.
 
     Computes ``o = act(convT_s2(h, w) + b)`` entirely in VMEM and returns
@@ -509,10 +509,16 @@ def last_stage_masked_stats(w, b, h_nhwc, y_nhwc, m_nhw1, final_act="sigmoid",
     x = _nhwc_to_nchw(h_nhwc).astype(jnp.float32)
     yy = _nhwc_to_nchw(y_nhwc).astype(jnp.float32)
     mm = _nhwc_to_nchw(m_nhw1).astype(jnp.float32)
-    nm, so, sy, soo, syy, soy, s2 = _stats_core(
-        geom, final_act, bool(interpret), x,
+    core = functools.partial(_stats_core, geom, final_act, bool(interpret))
+
+    def call(w_flat, b_, x_, y_, m_):
+        return core(x_, w_flat, b_, y_, m_)
+
+    if mesh is not None and mesh.size > 1:
+        call = _shard_map_batch(call, mesh, n_batch_args=3, n_out=7)
+    nm, so, sy, soo, syy, soy, s2 = call(
         w.astype(jnp.float32).reshape(-1),
-        b.astype(jnp.float32).reshape(-1), yy, mm,
+        b.astype(jnp.float32).reshape(-1), x, yy, mm,
     )
     pc = lambda a: a.reshape(n, cout)  # noqa: E731
     return {
@@ -521,8 +527,28 @@ def last_stage_masked_stats(w, b, h_nhwc, y_nhwc, m_nhw1, final_act="sigmoid",
     }
 
 
+def _shard_map_batch(fn, mesh, n_batch_args, n_out):
+    """Wrap ``fn(w_flat, b, *batched)`` in a ``shard_map`` over the mesh's
+    "data" axis: params replicated, batched operands/results sharded on
+    their leading axis.  Lets the per-image Pallas kernels run under the
+    DP trainer — each device runs the kernel on its local batch shard and
+    ``shard_map``'s AD transpose inserts the cross-device ``psum`` for the
+    replicated (w, b) gradients, riding ICI exactly like the XLA loss's
+    gradient all-reduce.  Axes other than "data" (e.g. a TP "model" axis)
+    stay unmapped/replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    batch_spec = P("data")
+    in_specs = (P(), P()) + (batch_spec,) * n_batch_args
+    out_specs = (batch_spec,) * n_out if n_out > 1 else batch_spec
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+
+
 def last_stage_sse(w, b, h_nhwc, y_nhwc, final_act="sigmoid",
-                   interpret=False):
+                   interpret=False, mesh=None):
     """Per-image SSE of the fused final decoder stage.
 
     ``sse[i] = sum((act(convT_s2(h[i], w) + b) - y[i])**2)`` with a fused
@@ -540,8 +566,14 @@ def last_stage_sse(w, b, h_nhwc, y_nhwc, final_act="sigmoid",
     geom = (k_h, k_w, cin, cout, int(i_h), int(i_w), o_h, o_w)
     x = _nhwc_to_nchw(h_nhwc).astype(jnp.float32)
     yy = _nhwc_to_nchw(y_nhwc).astype(jnp.float32)
-    return _sse_core(
-        geom, final_act, bool(interpret), x,
+    core = functools.partial(_sse_core, geom, final_act, bool(interpret))
+
+    def call(w_flat, b_, x_, y_):
+        return core(x_, w_flat, b_, y_)
+
+    if mesh is not None and mesh.size > 1:
+        call = _shard_map_batch(call, mesh, n_batch_args=2, n_out=1)
+    return call(
         w.astype(jnp.float32).reshape(-1),
-        b.astype(jnp.float32).reshape(-1), yy,
+        b.astype(jnp.float32).reshape(-1), x, yy,
     )

@@ -151,11 +151,123 @@ def test_fused_train_tail_gating():
         if jax.device_count() > 1:
             from cae_tools_tpu.parallel.mesh import get_mesh
 
+            # pure-DP mesh: fused tail runs per shard via shard_map
             mt.set_mesh(get_mesh(jax.device_count()))
+            assert mt._use_fused_train_tail()
+            # TP "model" axis >1: keep the XLA loss
+            mt.set_mesh(get_mesh(n_model=2))
             assert not mt._use_fused_train_tail()
             mt.set_mesh(None)
     finally:
         del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs a multi-device mesh")
+def test_fused_loss_through_compiled_trainer_on_mesh():
+    """The fused ConvAE loss trains through the compiled epoch-scan Trainer
+    on a DP mesh (jit + GSPMD batch sharding + shard_map'd Pallas kernel +
+    donated carry all composing)."""
+    from cae_tools_tpu.models.conv_ae_model import ConvAEModel
+    from cae_tools_tpu.parallel.mesh import get_mesh
+    from cae_tools_tpu.train.loop import TrainConfig, Trainer
+
+    mt = ConvAEModel(encoded_dim_size=8, fc_size=16)
+    mt.spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(96, 96), output_channels=1,
+    )
+    mt._build_modules()
+    mt._init_params(jax.random.PRNGKey(0))
+    mesh = get_mesh(n_data=jax.device_count(), n_model=1)
+    mt.set_mesh(mesh)
+    os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
+    try:
+        assert mt._use_fused_train_tail()
+        loss_fn = mt._make_loss_fn()
+    finally:
+        del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+    rng = np.random.default_rng(11)
+    n = 2 * jax.device_count()
+    data = {
+        "x": rng.random((n, 16, 16, 1), dtype=np.float32),
+        "y": rng.random((n, 96, 96, 1), dtype=np.float32),
+    }
+    cfg = TrainConfig(batch_size=n, nr_epochs=2, test_interval=1,
+                      lr=1e-3, weight_decay=0.0, optimizer="adam_l2")
+    tr = Trainer(loss_fn, cfg, mesh=mesh)
+    hist = {"train_loss": [], "test_loss": [], "nr_epochs": 0}
+    _, _, tl, te = tr.fit(mt.params, mt.state, data, data, hist)
+    assert np.isfinite(tl) and np.isfinite(te)
+    assert hist["train_loss"][-1] <= hist["train_loss"][0] * 1.5
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs a multi-device mesh")
+def test_fused_tail_dp_mesh_matches_single_device():
+    """shard_map'd fused losses == single-device fused losses (value +
+    grads; the replicated (w, b) grads take shard_map's AD-inserted psum)."""
+    from cae_tools_tpu.ops import losses as L
+    from cae_tools_tpu.ops.pallas.train_tail import (
+        last_stage_masked_stats,
+        last_stage_sse,
+    )
+    from cae_tools_tpu.parallel.mesh import get_mesh
+
+    convops.set_precision("highest")
+    try:
+        mesh = get_mesh(jax.device_count())
+        n = 2 * jax.device_count()
+        spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(96, 96), output_channels=1,
+        )
+        layer = spec.output_layers[-1]
+        o_h, o_w = (int(v) for v in layer.get_output_dimensions()[1:])
+        rng = np.random.default_rng(3)
+        w, b, _, _ = _last_stage(spec)
+        i_h = int(layer.get_input_dimensions()[1])
+        i_w = int(layer.get_input_dimensions()[2])
+        cin = int(layer.get_input_dimensions()[0])
+        h = jnp.asarray(rng.normal(size=(n, i_h, i_w, cin)).astype(np.float32))
+        y = jnp.asarray(rng.random(size=(n, o_h, o_w, 1)).astype(np.float32))
+        m = jnp.asarray(
+            (rng.random(size=(n, o_h, o_w, 1)) > 0.3).astype(np.float32)
+        )
+        bw = jnp.ones((n,), jnp.float32)
+
+        def sse_loss(mesh_):
+            def f(w_, b_, h_):
+                return jnp.mean(last_stage_sse(
+                    w_, b_, h_, y, interpret=True, mesh=mesh_
+                ))
+            return jax.value_and_grad(f, argnums=(0, 1, 2))(w, b, h)
+
+        v_1, g_1 = sse_loss(None)
+        v_m, g_m = sse_loss(mesh)
+        np.testing.assert_allclose(float(v_m), float(v_1), rtol=1e-6)
+        for a_m, a_1 in zip(g_m, g_1):
+            np.testing.assert_allclose(
+                np.asarray(a_m), np.asarray(a_1), rtol=1e-5, atol=1e-6
+            )
+
+        def stats_loss(mesh_):
+            def f(w_, b_, h_):
+                stats = last_stage_masked_stats(
+                    w_, b_, h_, y, m, interpret=True, mesh=mesh_
+                )
+                mse = L.masked_mse_from_stats(stats, bw)
+                corr = L.masked_pearson_from_stats(stats, bw)
+                return mse + (1.0 - jnp.mean(corr))
+            return jax.value_and_grad(f, argnums=(0, 1, 2))(w, b, h)
+
+        v_1, g_1 = stats_loss(None)
+        v_m, g_m = stats_loss(mesh)
+        np.testing.assert_allclose(float(v_m), float(v_1), rtol=1e-6)
+        for a_m, a_1 in zip(g_m, g_1):
+            np.testing.assert_allclose(
+                np.asarray(a_m), np.asarray(a_1), rtol=1e-5, atol=1e-6
+            )
+    finally:
+        convops.set_precision("high")
 
 
 # --------------------------------------------------------------------------

@@ -120,11 +120,56 @@ class VarAEModel(ConvAEModel):
         _, oy, ox = self.output_shape
         return min(oy, ox)
 
+    def _use_fused_train_tail(self):
+        """ConvAE gate plus: the MS-SSIM term must be inert (λ_ssim == 0,
+        or the output too small for even single-scale SSIM).  MS-SSIM's
+        Gaussian pyramid needs the full-resolution output, which is
+        exactly what the fused tail avoids materializing."""
+        ssim_active = self.lambda_ssim != 0 and self._min_output_hw() >= 11
+        return not ssim_active and super()._use_fused_train_tail()
+
     def _make_loss_fn(self):
         encoder, decoder = self.encoder, self.decoder
         lambda_mse = self.lambda_mse
         lambda_kl = self.lambda_kl
         lambda_ssim = self.lambda_ssim
+
+        if self._use_fused_train_tail():
+            # λ_mse·(fused-SSE mean) + λ_kl·KL; the SSIM term is inert so
+            # the full-resolution output never reaches HBM
+            # (ops/pallas/train_tail.py, same kernel as ConvAEModel)
+            from ..ops.pallas.train_tail import last_stage_sse
+
+            interpret = jax.default_backend() != "tpu"
+            mesh = self.mesh
+            o_c, o_h, o_w = decoder.layers[-1].get_output_dimensions()
+            denom = float(o_c * o_h * o_w)
+
+            def loss_fn(params, state, rng, batch, train):
+                (mu, logvar), enc_s = encoder.apply(
+                    params["encoder"], state["encoder"], batch["x"], train
+                )
+                z = M.reparameterize(rng, mu, logvar) if train else mu
+                h, dec_s = decoder.apply_head(
+                    params["decoder"], state["decoder"], z, train
+                )
+                cp = params["decoder"]["convs"][-1]
+                sse = last_stage_sse(
+                    cp["w"], cp["b"], h, batch["y"], interpret=interpret,
+                    mesh=mesh,
+                )
+                w = batch["w"]
+                wsum = jnp.maximum(jnp.sum(w), 1.0)
+                mse = jnp.sum((sse / denom) * w) / wsum
+                per_kl = -0.5 * jnp.sum(
+                    1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1
+                )
+                kl = jnp.sum(per_kl * w) / wsum
+                loss = lambda_mse * mse + lambda_kl * kl
+                aux = {"mse": mse, "kl": kl, "ssim_loss": 0.0}
+                return loss, ({"encoder": enc_s, "decoder": dec_s}, aux)
+
+            return loss_fn
         # MS-SSIM needs >= 11 * 2^(levels-1) pixels per side; drop scales on
         # small outputs, fall back to plain SSIM / skip below the window size
         min_hw = self._min_output_hw()

@@ -270,6 +270,67 @@ def test_fused_tail_dp_mesh_matches_single_device():
         convops.set_precision("high")
 
 
+def test_varae_fused_loss_matches_xla_loss():
+    """VarAE with an inert SSIM term: fused loss == XLA loss; any active
+    SSIM term keeps the XLA path (MS-SSIM needs the full output)."""
+    from cae_tools_tpu.models.var_ae_model import VarAEModel
+
+    convops.set_precision("highest")
+    try:
+        mt = VarAEModel(encoded_dim_size=8, fc_size=16, lambda_ssim=0.0)
+        mt.spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(96, 96), output_channels=1,
+        )
+        mt.input_shape = (1, 16, 16)
+        mt.output_shape = (1, 96, 96)
+        mt._build_modules()
+        mt._init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(2)
+        batch = {
+            "x": jnp.asarray(rng.random((4, 16, 16, 1), dtype=np.float32)),
+            "y": jnp.asarray(rng.random((4, 96, 96, 1), dtype=np.float32)),
+            "w": jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
+        }
+
+        def run(flag):
+            os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = flag
+            try:
+                loss_fn = mt._make_loss_fn()
+            finally:
+                del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+            def scalar(params):
+                loss, _ = loss_fn(
+                    params, mt.state, jax.random.PRNGKey(3), batch, True
+                )
+                return loss
+
+            return jax.value_and_grad(scalar)(mt.params)
+
+        v_f, g_f = run("1")
+        v_x, g_x = run("0")
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+        for a_f, a_x in zip(
+            jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_x)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a_f), np.asarray(a_x), rtol=2e-5, atol=2e-5
+            )
+
+        # active SSIM term gates the fused path off
+        os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
+        try:
+            mt.lambda_ssim = 1.0
+            assert not mt._use_fused_train_tail()
+            mt.lambda_ssim = 0.0
+            assert mt._use_fused_train_tail()
+        finally:
+            del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+    finally:
+        convops.set_precision("high")
+
+
 # --------------------------------------------------------------------------
 # masked-statistics kernels (UNET training loss)
 # --------------------------------------------------------------------------

@@ -94,14 +94,14 @@ def test_convae_fused_loss_matches_xla_loss():
         mt = ConvAEModel(encoded_dim_size=8, fc_size=16)
         mt.spec = create_model_spec(
             input_size=(16, 16), input_channels=1,
-            output_size=(96, 96), output_channels=1,
+            output_size=(64, 64), output_channels=1,
         )
         mt._build_modules()
         mt._init_params(jax.random.PRNGKey(0))
         rng = np.random.default_rng(1)
         batch = {
             "x": jnp.asarray(rng.random((4, 16, 16, 1), dtype=np.float32)),
-            "y": jnp.asarray(rng.random((4, 96, 96, 1), dtype=np.float32)),
+            "y": jnp.asarray(rng.random((4, 64, 64, 1), dtype=np.float32)),
             # zero-weight row = padded sample (train/loop.py batch_weights)
             "w": jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
         }
@@ -142,7 +142,7 @@ def test_fused_train_tail_gating():
     mt = ConvAEModel(encoded_dim_size=8, fc_size=16)
     mt.spec = create_model_spec(
         input_size=(16, 16), input_channels=1,
-        output_size=(96, 96), output_channels=1,
+        output_size=(64, 64), output_channels=1,
     )
     mt._build_modules()
     os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
@@ -174,7 +174,7 @@ def test_fused_loss_through_compiled_trainer_on_mesh():
     mt = ConvAEModel(encoded_dim_size=8, fc_size=16)
     mt.spec = create_model_spec(
         input_size=(16, 16), input_channels=1,
-        output_size=(96, 96), output_channels=1,
+        output_size=(64, 64), output_channels=1,
     )
     mt._build_modules()
     mt._init_params(jax.random.PRNGKey(0))
@@ -190,7 +190,7 @@ def test_fused_loss_through_compiled_trainer_on_mesh():
     n = 2 * jax.device_count()
     data = {
         "x": rng.random((n, 16, 16, 1), dtype=np.float32),
-        "y": rng.random((n, 96, 96, 1), dtype=np.float32),
+        "y": rng.random((n, 64, 64, 1), dtype=np.float32),
     }
     cfg = TrainConfig(batch_size=n, nr_epochs=2, test_interval=1,
                       lr=1e-3, weight_decay=0.0, optimizer="adam_l2")
@@ -218,7 +218,7 @@ def test_fused_tail_dp_mesh_matches_single_device():
         n = 2 * jax.device_count()
         spec = create_model_spec(
             input_size=(16, 16), input_channels=1,
-            output_size=(96, 96), output_channels=1,
+            output_size=(64, 64), output_channels=1,
         )
         layer = spec.output_layers[-1]
         o_h, o_w = (int(v) for v in layer.get_output_dimensions()[1:])
@@ -280,16 +280,16 @@ def test_varae_fused_loss_matches_xla_loss():
         mt = VarAEModel(encoded_dim_size=8, fc_size=16, lambda_ssim=0.0)
         mt.spec = create_model_spec(
             input_size=(16, 16), input_channels=1,
-            output_size=(96, 96), output_channels=1,
+            output_size=(64, 64), output_channels=1,
         )
         mt.input_shape = (1, 16, 16)
-        mt.output_shape = (1, 96, 96)
+        mt.output_shape = (1, 64, 64)
         mt._build_modules()
         mt._init_params(jax.random.PRNGKey(0))
         rng = np.random.default_rng(2)
         batch = {
             "x": jnp.asarray(rng.random((4, 16, 16, 1), dtype=np.float32)),
-            "y": jnp.asarray(rng.random((4, 96, 96, 1), dtype=np.float32)),
+            "y": jnp.asarray(rng.random((4, 64, 64, 1), dtype=np.float32)),
             "w": jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
         }
 
@@ -436,17 +436,17 @@ def test_unet_fused_loss_matches_xla_loss():
         mt = UNET(encoded_dim_size=8, fc_size=16, dropout_rate=0.2)
         mt.spec = create_model_spec(
             input_size=(16, 16), input_channels=1,
-            output_size=(96, 96), output_channels=1,
+            output_size=(64, 64), output_channels=1,
         )
         mt.input_shape = (1, 16, 16)
-        mt.output_shape = (1, 96, 96)
+        mt.output_shape = (1, 64, 64)
         mt._build_modules()
         mt._init_params(jax.random.PRNGKey(0))
         rng = np.random.default_rng(5)
-        mask = (rng.random((4, 96, 96, 1)) > 0.2).astype(np.float32)
+        mask = (rng.random((4, 64, 64, 1)) > 0.2).astype(np.float32)
         batch = {
             "x": jnp.asarray(rng.random((4, 16, 16, 1), dtype=np.float32)),
-            "y": jnp.asarray(rng.random((4, 96, 96, 1), dtype=np.float32)),
+            "y": jnp.asarray(rng.random((4, 64, 64, 1), dtype=np.float32)),
             "m": jnp.asarray(mask),
             "w": jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
         }
@@ -497,10 +497,10 @@ def test_unet_fused_tail_gating():
         mt = UNET(encoded_dim_size=8, fc_size=16)
         mt.spec = create_model_spec(
             input_size=(16, 16), input_channels=1,
-            output_size=(96, 96), output_channels=1,
+            output_size=(64, 64), output_channels=1,
         )
         mt.input_shape = (1, 16, 16)
-        mt.output_shape = (1, 96, 96)
+        mt.output_shape = (1, 64, 64)
         mt._build_modules()
         assert mt._use_fused_train_tail()
         mt.additional_loss = "perceptual"

@@ -584,8 +584,28 @@ def measure_one(metric: str) -> dict:
     Returns the metric's result dict; the CAE_BENCH_ONLY child entry
     point prints it as one JSON line on completion, which the parent
     harvests (a child killed mid-run reports nothing — the parent's
-    stall tolerance then skips or retries the metric)."""
+    stall tolerance then skips or retries the metric).
+
+    ``train_suite`` measures ALL train metrics sequentially in this one
+    process, printing each result line the moment it lands: per-child
+    tunnel setup (handshake + program load) costs 100-200 s on slow days,
+    and the scan-amortized train timings are immune to the dispatch tax
+    (docstring point 2: ~5 ms flat on an 8 MB carry = 1-2% of a 64-step
+    scan), so one process for seven train metrics is both cheaper and
+    safe — unlike the fast apply metrics, which stay one-per-process."""
     _enable_cache()
+    if metric == "train_suite":
+        skip = {
+            m for m in os.environ.get("CAE_BENCH_SKIP", "").split(",") if m
+        }
+        for m in _TRAIN_METRICS:
+            if m in skip:
+                continue
+            t_m = time.monotonic()
+            got = measure_one(m)
+            got[m + "_measure_s"] = round(time.monotonic() - t_m, 1)
+            print(json.dumps(got), flush=True)
+        return {"train_suite_done": 1}
     from cae_tools_tpu.ops import convops
 
     spec = _spec()
@@ -642,6 +662,17 @@ def measure_one(metric: str) -> dict:
     return {metric: ips}
 
 
+def _metric_done(metric: str, rates: dict) -> bool:
+    if metric == "train_suite":
+        skip = {
+            m for m in os.environ.get("CAE_BENCH_SKIP", "").split(",") if m
+        }
+        return "train_suite_done" in rates or all(
+            m in rates or m in skip for m in _TRAIN_METRICS
+        )
+    return metric in rates
+
+
 def _run_subprocess(metric: str, timeout_s: float) -> dict:
     """Run one metric in a fresh process with a hard wall-clock slice.
 
@@ -675,7 +706,7 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
                         rates.update(json.loads(line))
                     except json.JSONDecodeError:
                         continue
-                    if metric in rates:
+                    if _metric_done(metric, rates):
                         done.set()  # measured: stop paying for teardown
                         return
         except Exception:
@@ -694,19 +725,27 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
     return rates
 
 
-#: metrics in priority order; the first is the headline
-_METRICS = (
-    "apply_fused",
+#: train metrics, flagship order — measured inside ONE ``train_suite``
+#: child (see measure_one) so the per-child tunnel setup is paid once
+_TRAIN_METRICS = (
     "train_convae_fused",  # product-default train loss (fused last stage)
     "train_convae",        # XLA-HIGH train loss (the fused path's baseline)
     "train_convae_fused_bf16",  # fused tail + 1-pass bf16 interior convs
-    "apply_xla_high",
-    "apply_unet_fused",  # UNET product-default apply (fused Pallas tail)
-    "apply_unet",        # UNET pure-XLA apply (the fused tail's baseline)
     "train_unet_fused",  # UNET product-default train loss (fused last stage)
     "train_unet",        # UNET XLA train loss (the fused path's baseline)
     "train_varae",    # Pallas MS-SSIM value+grad in the loss
     "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
+)
+
+#: metrics in priority order; the first is the headline.  Apply metrics
+#: are one-per-process (dispatch-tax isolation); train metrics ride the
+#: suite child.
+_METRICS = (
+    "apply_fused",
+    "train_suite",
+    "apply_xla_high",
+    "apply_unet_fused",  # UNET product-default apply (fused Pallas tail)
+    "apply_unet",        # UNET pure-XLA apply (the fused tail's baseline)
     "apply_bf16",
     "apply_bf16_weights",
 )
@@ -813,15 +852,27 @@ def main():
     skip = {
         m for m in os.environ.get("CAE_BENCH_SKIP", "").split(",") if m
     }
+    def sweep_metrics(sweep):
+        if sweep == 0:
+            return _METRICS
+        # retry pass: anything still missing; a partially-harvested
+        # train suite retries its missing members individually
+        out = [m for m in _METRICS if m != "train_suite"]
+        out[1:1] = list(_TRAIN_METRICS)
+        return tuple(out)
+
     for sweep in range(2):
-        for i, metric in enumerate(_METRICS):
-            if metric in rates or metric in skip:
+        for i, metric in enumerate(sweep_metrics(sweep)):
+            if _metric_done(metric, rates) or metric in skip:
                 continue
-            # the fused-train metrics are the round's flagships: on the
-            # retry sweep give them the headline-sized slice (tunnel
-            # stalls are transient; a warm child normally needs 60-140 s)
-            flagship = i == 0 or (sweep > 0 and i <= 2)
-            cap = _HEADLINE_CAP_S if flagship else _METRIC_CAP_S
+            if metric == "train_suite":
+                # one child, seven scan-timed metrics: most of its slice
+                # is per-graph program load; results stream out as lines
+                cap = max(_HEADLINE_CAP_S, 0.65 * _BUDGET_S)
+            elif i == 0 or sweep > 0:
+                cap = _HEADLINE_CAP_S
+            else:
+                cap = _METRIC_CAP_S
             if remaining() < 90:
                 break
             t_m = time.monotonic()
@@ -829,7 +880,7 @@ def main():
             rates.update(got)
             print(
                 f"# bench: {metric} "
-                f"{'ok' if metric in got else 'MISSING'} "
+                f"{'ok' if _metric_done(metric, rates) else 'MISSING'} "
                 f"in {time.monotonic() - t_m:.0f}s "
                 f"(sweep {sweep}, {remaining():.0f}s left)",
                 flush=True,

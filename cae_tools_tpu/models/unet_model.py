@@ -270,6 +270,20 @@ class UNET(BaseModel):
         the XLA loss.  f32 kernel math, so gradients are HIGHEST-grade
         regardless of the conv precision knob.
         """
+        if not self._fused_tail_base_ok():
+            return False
+        if type(self)._net_apply is not UNET._net_apply:
+            return False  # residual heads have their own fused form
+        from ..ops.pallas.train_tail import last_stage_eligible
+
+        return (
+            self.decoder is not None
+            and self.decoder.final_sigmoid
+            and last_stage_eligible(self.decoder.layers[-1])
+        )
+
+    def _fused_tail_base_ok(self):
+        """Shared environment/mesh/loss-shape gates for the fused tails."""
         choice = os.environ.get("CAE_TPU_FUSED_TRAIN_TAIL")
         if choice is not None and choice != "1":
             return False
@@ -279,15 +293,7 @@ class UNET(BaseModel):
             return False
         if getattr(self, "additional_loss", None):
             return False
-        if type(self)._net_apply is not UNET._net_apply:
-            return False  # residual heads add to the stage output
-        from ..ops.pallas.train_tail import last_stage_eligible
-
-        return (
-            self.decoder is not None
-            and self.decoder.final_sigmoid
-            and last_stage_eligible(self.decoder.layers[-1])
-        )
+        return True
 
     def _make_fused_loss_fn(self):
         from ..ops.pallas.train_tail import last_stage_masked_stats
@@ -654,6 +660,61 @@ class UNETRes(UNET):
         # fused-tail-capable core (linear final act), then the residual head
         out = self._unet_core_eval(params, state, x)
         return self._residual_head(params, x, out)
+
+    def _use_fused_train_tail(self):
+        """Residual form of the fused training tail: the whole residual
+        head (bilinear-up base + 1x1 projection + res_scale * ConvT) and
+        the masked loss fuse in VMEM — bilinear resize rides two separable
+        MXU matmuls (``train_tail.last_stage_residual_stats``).  Needs the
+        base-projection input narrow enough for the VMEM guard."""
+        if not self._fused_tail_base_ok():
+            return False
+        if self.decoder is None or self.decoder.final_sigmoid:
+            return False
+        from ..ops.pallas.train_tail import residual_stats_eligible
+
+        return self.input_shape is not None and residual_stats_eligible(
+            self.decoder.layers[-1], self.input_shape[0]
+        )
+
+    def _make_fused_loss_fn(self):
+        from ..ops.pallas.train_tail import last_stage_residual_stats
+
+        encoder, decoder = self.encoder, self.decoder
+        lambda_pearson = self.lambda_pearson
+        interpret = jax.default_backend() != "tpu"
+        mesh = self.mesh
+
+        def loss_fn(params, state, rng, batch, train):
+            r_enc = r_dec = None
+            if rng is not None:
+                r_enc, r_dec = jax.random.split(rng)
+            (z, skips), enc_s = encoder.apply(
+                params["encoder"], state["encoder"], batch["x"], train,
+                rng=r_enc,
+            )
+            h, dec_s = decoder.apply_head(
+                params["decoder"], state["decoder"], z, skips, train,
+                rng=r_dec,
+            )
+            cp = params["decoder"]["convs"][-1]
+            bp = params["base_proj"]
+            stats = last_stage_residual_stats(
+                cp["w"], cp["b"], params["res_scale"], bp["w"], bp["b"],
+                h, batch["x"], batch["y"], batch["m"],
+                interpret=interpret, mesh=mesh,
+            )
+            w = batch["w"]
+            mse = L.masked_mse_from_stats(stats, w)
+            corr = L.masked_pearson_from_stats(stats, w)  # (N, C)
+            wsum = jnp.maximum(jnp.sum(w), 1.0)
+            corr_mean = jnp.sum(jnp.mean(corr, axis=1) * w) / wsum
+            pearson_loss = 1.0 - corr_mean
+            loss = mse + lambda_pearson * pearson_loss
+            aux = {"mse": mse, "pearson_loss": pearson_loss}
+            return loss, ({"encoder": enc_s, "decoder": dec_s}, aux)
+
+        return loss_fn
 
     def save(self, to_folder):
         super().save(to_folder)

@@ -527,19 +527,20 @@ def last_stage_masked_stats(w, b, h_nhwc, y_nhwc, m_nhw1, final_act="sigmoid",
     }
 
 
-def _shard_map_batch(fn, mesh, n_batch_args, n_out):
-    """Wrap ``fn(w_flat, b, *batched)`` in a ``shard_map`` over the mesh's
-    "data" axis: params replicated, batched operands/results sharded on
-    their leading axis.  Lets the per-image Pallas kernels run under the
-    DP trainer — each device runs the kernel on its local batch shard and
-    ``shard_map``'s AD transpose inserts the cross-device ``psum`` for the
-    replicated (w, b) gradients, riding ICI exactly like the XLA loss's
-    gradient all-reduce.  Axes other than "data" (e.g. a TP "model" axis)
-    stay unmapped/replicated."""
+def _shard_map_batch(fn, mesh, n_batch_args, n_out, n_param_args=2):
+    """Wrap ``fn(*params, *batched)`` in a ``shard_map`` over the mesh's
+    "data" axis: the leading ``n_param_args`` arguments are replicated,
+    batched operands/results sharded on their leading axis.  Lets the
+    per-image Pallas kernels run under the DP trainer — each device runs
+    the kernel on its local batch shard and ``shard_map``'s AD transpose
+    inserts the cross-device ``psum`` for the replicated parameter
+    gradients, riding ICI exactly like the XLA loss's gradient
+    all-reduce.  Axes other than "data" (e.g. a TP "model" axis) stay
+    unmapped/replicated."""
     from jax.sharding import PartitionSpec as P
 
     batch_spec = P("data")
-    in_specs = (P(), P()) + (batch_spec,) * n_batch_args
+    in_specs = (P(),) * n_param_args + (batch_spec,) * n_batch_args
     out_specs = (batch_spec,) * n_out if n_out > 1 else batch_spec
     return jax.shard_map(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -577,3 +578,322 @@ def last_stage_sse(w, b, h_nhwc, y_nhwc, final_act="sigmoid",
         w.astype(jnp.float32).reshape(-1),
         b.astype(jnp.float32).reshape(-1), x, yy,
     )
+
+
+# --------------------------------------------------------------------------
+# residual masked-statistics kernels (UNETRes training loss)
+# --------------------------------------------------------------------------
+#
+# UNETRes (``models/unet_model.py::UNETRes``) predicts a residual over a
+# bilinear-upsampled, 1x1-projected base estimate of the input:
+#
+#   p = base + s*o,   base = conv1x1(up(x_in), rw) + rb,   o = convT(h, w)+b
+#
+# Bilinear resize is a separable linear map — ``up(x) = A_h @ x @ A_w^T``
+# with matrices obtained by resizing identity (exact; verified to f32
+# noise against ``jax.image.resize``) — so the ENTIRE residual head fuses
+# into the stats kernel: two small MXU matmuls recreate the base in VMEM
+# and no full-resolution tensor (up(x), base, p, o, or any gradient) ever
+# reaches HBM.  Inputs are only the tiny model input ``x_in`` and the
+# stage input ``h``; the loss is the same masked-stats form as UNET.
+#
+# Backward: with G = m*(α + β*p + γ*y) + m²*δ*(p−y) recomputed in VMEM,
+#   d/dh,dw,db  <- ggs = s*G through the shared ConvT backprop,
+#   d/ds        = Σ o*G,   d/drb[co] = Σ G[co],
+#   d/drw[ci,co] = Σ up(x)[ci]*G[co]   (up recomputed per channel).
+
+
+#: VMEM guard: the kernel keeps cin_in upsampled planes live; many-channel
+#: inputs (e.g. 13-predictor LST stacks) fall back to the XLA loss.
+_MAX_RES_CIN = 4
+
+
+def _res_stats_fwd_kernel(xh_ref, y_ref, m_ref, xin_ref, w_ref, b_ref,
+                          rw_ref, rb_ref, s_ref, uh_ref, uwt_ref,
+                          er_ref, fc_ref, nm_ref, so_ref, sy_ref, soo_ref,
+                          syy_ref, soy_ref, s2_ref, *, geom, res_cin):
+    cin, cout = geom[2], geom[3]
+    i = pl.program_id(0)
+    chans = [xh_ref[0, c] for c in range(cin)]
+    outs = _stage_fused(chans, w_ref, b_ref, 0, 0, geom, "linear",
+                        er_ref, fc_ref)
+    ups = []
+    for ci in range(res_cin):
+        t = jnp.dot(uh_ref[...], xin_ref[0, ci],
+                    preferred_element_type=jnp.float32)
+        ups.append(jnp.dot(t, uwt_ref[...],
+                           preferred_element_type=jnp.float32))
+    mm = m_ref[0, 0]
+    nm_ref[i] = jnp.sum(mm)
+    mm2 = mm * mm
+    s = s_ref[0]
+    for co in range(cout):
+        base = None
+        for ci in range(res_cin):
+            term = ups[ci] * rw_ref[ci * cout + co]
+            base = term if base is None else base + term
+        p = base + rb_ref[co] + s * outs[co]
+        y = y_ref[0, co]
+        j = i * cout + co
+        so_ref[j] = jnp.sum(mm * p)
+        sy_ref[j] = jnp.sum(mm * y)
+        soo_ref[j] = jnp.sum(mm * p * p)
+        syy_ref[j] = jnp.sum(mm * y * y)
+        soy_ref[j] = jnp.sum(mm * p * y)
+        d = p - y
+        s2_ref[j] = jnp.sum(mm2 * d * d)
+
+
+def _res_stats_bwd_kernel(xh_ref, y_ref, m_ref, xin_ref, w_ref, b_ref,
+                          rw_ref, rb_ref, s_ref, al_ref, be_ref, ga_ref,
+                          de_ref, uh_ref, uwt_ref, er_ref, fc_ref, eat_ref,
+                          fbt_ref, dx_ref, dw_ref, db_ref, drw_ref, drb_ref,
+                          ds_ref, *, geom, res_cin):
+    cin, cout = geom[2], geom[3]
+    i = pl.program_id(0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_res():
+        for j in range(res_cin * cout):
+            drw_ref[j] = 0.0
+        for co in range(cout):
+            drb_ref[co] = 0.0
+        ds_ref[0] = 0.0
+
+    chans = [xh_ref[0, c] for c in range(cin)]
+    outs = _stage_fused(chans, w_ref, b_ref, 0, 0, geom, "linear",
+                        er_ref, fc_ref)
+    ups = []
+    for ci in range(res_cin):
+        t = jnp.dot(uh_ref[...], xin_ref[0, ci],
+                    preferred_element_type=jnp.float32)
+        ups.append(jnp.dot(t, uwt_ref[...],
+                           preferred_element_type=jnp.float32))
+    mm = m_ref[0, 0]
+    mm2 = mm * mm
+    s = s_ref[0]
+    ggs = []
+    ds_acc = None
+    for co in range(cout):
+        base = None
+        for ci in range(res_cin):
+            term = ups[ci] * rw_ref[ci * cout + co]
+            base = term if base is None else base + term
+        o = outs[co]
+        p = base + rb_ref[co] + s * o
+        y = y_ref[0, co]
+        j = i * cout + co
+        g = mm * (al_ref[j] + be_ref[j] * p + ga_ref[j] * y) + (
+            mm2 * de_ref[j]
+        ) * (p - y)
+        drb_ref[co] = drb_ref[co] + jnp.sum(g)
+        for ci in range(res_cin):
+            jj = ci * cout + co
+            drw_ref[jj] = drw_ref[jj] + jnp.sum(ups[ci] * g)
+        term = jnp.sum(o * g)
+        ds_acc = term if ds_acc is None else ds_acc + term
+        ggs.append(g * s)
+    ds_ref[0] = ds_ref[0] + ds_acc
+    _stage_backprop(chans, ggs, w_ref, eat_ref, fbt_ref,
+                    dx_ref, dw_ref, db_ref, geom)
+
+
+def _resize_mats(i_h, i_w, o_h, o_w):
+    """Separable bilinear-resize matrices matching ``jax.image.resize``
+    (exact: resize is linear per axis, so resizing identity recovers the
+    operator).  Returns (A_h (o_h, i_h), A_w^T (i_w, o_w))."""
+    a_h = jax.image.resize(jnp.eye(i_h, dtype=jnp.float32), (o_h, i_h),
+                           method="bilinear")
+    a_wt = jnp.transpose(
+        jax.image.resize(jnp.eye(i_w, dtype=jnp.float32), (o_w, i_w),
+                         method="bilinear")
+    )
+    return np.asarray(a_h), np.asarray(a_wt)
+
+
+def _run_res_stats_fwd(xh, y, m, xin, w_flat, b, rw, rb, s, geom, res_cin,
+                       interpret):
+    n = xh.shape[0]
+    _kh, _kw, cin, cout, i_h, i_w, o_h, o_w = geom
+    er, fc, _eat, _fbt = _mats(geom)
+    uh, uwt = (jnp.asarray(a) for a in
+               _resize_mats(xin.shape[2], xin.shape[3], o_h, o_w))
+    kernel = functools.partial(_res_stats_fwd_kernel, geom=geom,
+                               res_cin=res_cin)
+    flat = pl.BlockSpec((n * cout,), lambda i: (0,), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, res_cin) + xin.shape[2:],
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _const_spec(uh),
+            _const_spec(uwt),
+            _const_spec(er),
+            _const_spec(fc),
+        ],
+        out_specs=[pl.BlockSpec((n,), lambda i: (0,),
+                                memory_space=pltpu.SMEM)] + [flat] * 6,
+        out_shape=[jax.ShapeDtypeStruct((n,), jnp.float32)]
+        + [jax.ShapeDtypeStruct((n * cout,), jnp.float32)] * 6,
+        interpret=interpret,
+    )(xh, y, m, xin, w_flat, b, rw, rb, s, uh, uwt, er, fc)
+    return tuple(out)
+
+
+def _run_res_stats_bwd(xh, y, m, xin, w_flat, b, rw, rb, s, coeffs, geom,
+                       res_cin, interpret):
+    n = xh.shape[0]
+    k_h, k_w, cin, cout, i_h, i_w, o_h, o_w = geom
+    er, fc, eat, fbt = _mats(geom)
+    uh, uwt = (jnp.asarray(a) for a in
+               _resize_mats(xin.shape[2], xin.shape[3], o_h, o_w))
+    wn = k_h * k_w * cin * cout
+    kernel = functools.partial(_res_stats_bwd_kernel, geom=geom,
+                               res_cin=res_cin)
+    flat = pl.BlockSpec((n * cout,), lambda i: (0,), memory_space=pltpu.SMEM)
+    dx, dw, db, drw, drb, ds = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, res_cin) + xin.shape[2:],
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            flat, flat, flat, flat,
+            _const_spec(uh),
+            _const_spec(uwt),
+            _const_spec(er),
+            _const_spec(fc),
+            _const_spec(eat),
+            _const_spec(fbt),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wn,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((res_cin * cout,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, cin, i_h, i_w), jnp.float32),
+            jax.ShapeDtypeStruct((wn,), jnp.float32),
+            jax.ShapeDtypeStruct((cout,), jnp.float32),
+            jax.ShapeDtypeStruct((res_cin * cout,), jnp.float32),
+            jax.ShapeDtypeStruct((cout,), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xh, y, m, xin, w_flat, b, rw, rb, s, *coeffs, uh, uwt, er, fc, eat,
+      fbt)
+    return dx, dw, db, drw, drb, ds
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _res_stats_core(geom, res_cin, interpret, xh, w_flat, b, rw, rb, s,
+                    xin, y, m):
+    return _run_res_stats_fwd(xh, y, m, xin, w_flat, b, rw, rb, s, geom,
+                              res_cin, interpret)
+
+
+def _res_stats_fwd_rule(geom, res_cin, interpret, xh, w_flat, b, rw, rb, s,
+                        xin, y, m):
+    stats = _run_res_stats_fwd(xh, y, m, xin, w_flat, b, rw, rb, s, geom,
+                               res_cin, interpret)
+    return stats, (xh, w_flat, b, rw, rb, s, xin, y, m)
+
+
+def _res_stats_bwd_rule(geom, res_cin, interpret, res, dstats):
+    xh, w_flat, b, rw, rb, s, xin, y, m = res
+    _dnm, dso, _dsy, dsoo, _dsyy, dsoy, ds2 = dstats
+    coeffs = tuple(
+        c.astype(jnp.float32).reshape(-1)
+        for c in (dso, 2.0 * dsoo, dsoy, 2.0 * ds2)
+    )
+    dx, dw, db, drw, drb, dsc = _run_res_stats_bwd(
+        xh, y, m, xin, w_flat, b, rw, rb, s, coeffs, geom, res_cin,
+        interpret,
+    )
+    return (dx, dw, db, drw, drb, dsc.reshape(()),
+            jnp.zeros_like(xin), jnp.zeros_like(y), jnp.zeros_like(m))
+
+
+_res_stats_core.defvjp(_res_stats_fwd_rule, _res_stats_bwd_rule)
+
+
+def residual_stats_eligible(spec, res_cin) -> bool:
+    return int(res_cin) <= _MAX_RES_CIN and last_stage_eligible(spec)
+
+
+def last_stage_residual_stats(w, b, res_scale, rw, rb, h_nhwc, xin_nhwc,
+                              y_nhwc, m_nhw1, interpret=False, mesh=None):
+    """Masked sufficient statistics of the fused UNETRes final stage +
+    residual head:
+
+        p = bilinear_up(x_in) @ rw + rb + res_scale * (convT_s2(h, w) + b)
+
+    entirely in VMEM (the resize rides two separable MXU matmuls), with
+    the same 7 per-(image, channel) masked moments and host-side
+    masked-MSE/Pearson reconstruction as ``last_stage_masked_stats``.
+    Differentiable in ``w``, ``b``, ``res_scale``, ``rw`` (1x1 base
+    projection, HWIO (1, 1, cin, cout) or (cin, cout)), ``rb`` and ``h``.
+
+    Reference context: the residual-head architecture is additive (no
+    upstream implementation shipped — ``base_model.py:140-141`` only
+    device-moves a ``unet_res`` attr); the loss form matches
+    ``unet.py:316-321``.
+    """
+    k_h, k_w = int(w.shape[0]), int(w.shape[1])
+    cin, cout = int(w.shape[2]), int(w.shape[3])
+    n, i_h, i_w, _ = h_nhwc.shape
+    res_cin = int(xin_nhwc.shape[3])
+    o_h, o_w = _stage_geometry(int(i_h), int(i_w), k_h, k_w)
+    geom = (k_h, k_w, cin, cout, int(i_h), int(i_w), o_h, o_w)
+    xh = _nhwc_to_nchw(h_nhwc).astype(jnp.float32)
+    yy = _nhwc_to_nchw(y_nhwc).astype(jnp.float32)
+    mm = _nhwc_to_nchw(m_nhw1).astype(jnp.float32)
+    xi = _nhwc_to_nchw(xin_nhwc).astype(jnp.float32)
+    core = functools.partial(_res_stats_core, geom, res_cin, bool(interpret))
+
+    def call(w_flat, b_, rw_, rb_, s_, xh_, xi_, y_, m_):
+        return core(xh_, w_flat, b_, rw_, rb_, s_, xi_, y_, m_)
+
+    if mesh is not None and mesh.size > 1:
+        call = _shard_map_batch(call, mesh, n_batch_args=4, n_out=7,
+                                n_param_args=5)
+    nm, so, sy, soo, syy, soy, s2 = call(
+        w.astype(jnp.float32).reshape(-1),
+        b.astype(jnp.float32).reshape(-1),
+        rw.astype(jnp.float32).reshape(-1),
+        rb.astype(jnp.float32).reshape(-1),
+        res_scale.astype(jnp.float32).reshape(-1),
+        xh, xi, yy, mm,
+    )
+    pc = lambda a: a.reshape(n, cout)  # noqa: E731
+    return {
+        "n_m": nm, "s_o": pc(so), "s_y": pc(sy), "s_oo": pc(soo),
+        "s_yy": pc(syy), "s_oy": pc(soy), "s2": pc(s2),
+    }

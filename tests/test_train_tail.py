@@ -510,3 +510,153 @@ def test_unet_fused_tail_gating():
         assert not rt._use_fused_train_tail()
     finally:
         del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+
+# --------------------------------------------------------------------------
+# residual masked-statistics kernels (UNETRes training loss)
+# --------------------------------------------------------------------------
+
+def test_residual_stats_loss_and_grads_match_xla():
+    """Fused residual stats (bilinear base + 1x1 proj + res_scale*ConvT +
+    masked MSE/Pearson) == the XLA composition — value and all six grads."""
+    from cae_tools_tpu.ops import losses as L
+    from cae_tools_tpu.ops.pallas.train_tail import (
+        last_stage_residual_stats,
+        residual_stats_eligible,
+    )
+
+    convops.set_precision("highest")
+    try:
+        spec = create_model_spec(
+            input_size=(16, 16), input_channels=2,
+            output_size=(64, 64), output_channels=1,
+        )
+        layer = spec.output_layers[-1]
+        assert residual_stats_eligible(layer, 2)
+        rng = np.random.default_rng(7)
+        k_h, k_w = layer.kernel_hw
+        cin = int(layer.get_input_dimensions()[0])
+        i_h, i_w = (int(v) for v in layer.get_input_dimensions()[1:])
+        o_h, o_w = (int(v) for v in layer.get_output_dimensions()[1:])
+        n = 3
+        w = jnp.asarray(rng.normal(size=(k_h, k_w, cin, 1)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.normal(size=(1,)).astype(np.float32) * 0.1)
+        h = jnp.asarray(rng.normal(size=(n, i_h, i_w, cin)).astype(np.float32))
+        xin = jnp.asarray(rng.random(size=(n, 16, 16, 2)).astype(np.float32))
+        y = jnp.asarray(rng.random(size=(n, o_h, o_w, 1)).astype(np.float32))
+        m = jnp.asarray((rng.random(size=(n, o_h, o_w, 1)) > 0.3).astype(np.float32))
+        rw = jnp.asarray(rng.normal(size=(1, 1, 2, 1)).astype(np.float32) * 0.5)
+        rb = jnp.asarray(rng.normal(size=(1,)).astype(np.float32) * 0.1)
+        s = jnp.asarray(0.07, jnp.float32)
+        bw = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+
+        def from_stats(stats):
+            mse = L.masked_mse_from_stats(stats, bw)
+            corr = L.masked_pearson_from_stats(stats, bw)
+            wsum = jnp.maximum(jnp.sum(bw), 1.0)
+            cm = jnp.sum(jnp.mean(corr, axis=1) * bw) / wsum
+            return mse + (1.0 - cm)
+
+        def loss_fused(w_, b_, s_, rw_, rb_, h_):
+            return from_stats(last_stage_residual_stats(
+                w_, b_, s_, rw_, rb_, h_, xin, y, m, interpret=True
+            ))
+
+        def loss_xla(w_, b_, s_, rw_, rb_, h_):
+            out = convops.conv_transpose2d(h_, w_, stride=2) + b_
+            up = jax.image.resize(xin, (n, o_h, o_w, 2), method="bilinear")
+            base = convops.conv2d(up, rw_) + rb_
+            p = base + s_ * out
+            mask = jnp.broadcast_to(m, p.shape) * bw[:, None, None, None]
+            mse = L.masked_mse(p, y, mask)
+            corr = L.masked_pearson(p, y, mask)
+            wsum = jnp.maximum(jnp.sum(bw), 1.0)
+            cm = jnp.sum(jnp.mean(corr, axis=1) * bw) / wsum
+            return mse + (1.0 - cm)
+
+        args = (w, b, s, rw, rb, h)
+        v_f, g_f = jax.value_and_grad(loss_fused, argnums=tuple(range(6)))(*args)
+        v_x, g_x = jax.value_and_grad(loss_xla, argnums=tuple(range(6)))(*args)
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+        for a_f, a_x, name in zip(g_f, g_x,
+                                  ("dw", "db", "ds", "drw", "drb", "dh")):
+            np.testing.assert_allclose(
+                np.asarray(a_f).reshape(np.asarray(a_x).shape),
+                np.asarray(a_x), rtol=2e-4, atol=2e-5, err_msg=name,
+            )
+    finally:
+        convops.set_precision("high")
+
+
+def test_unetres_fused_loss_matches_xla_loss():
+    """UNETRes's fused train loss == its XLA loss (value + grads), the
+    whole residual head in-kernel."""
+    from cae_tools_tpu.models.unet_model import UNETRes
+
+    convops.set_precision("highest")
+    try:
+        mt = UNETRes(encoded_dim_size=8, fc_size=16, dropout_rate=0.1)
+        mt.spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(64, 64), output_channels=1,
+        )
+        mt.input_shape = (1, 16, 16)
+        mt.output_shape = (1, 64, 64)
+        mt._build_modules()
+        mt._init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(9)
+        mask = (rng.random((4, 64, 64, 1)) > 0.2).astype(np.float32)
+        batch = {
+            "x": jnp.asarray(rng.random((4, 16, 16, 1), dtype=np.float32)),
+            "y": jnp.asarray(rng.random((4, 64, 64, 1), dtype=np.float32)),
+            "m": jnp.asarray(mask),
+            "w": jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
+        }
+
+        def run(flag):
+            os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = flag
+            try:
+                assert mt._use_fused_train_tail() == (flag == "1")
+                loss_fn = mt._make_loss_fn()
+            finally:
+                del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+            def scalar(params):
+                loss, _ = loss_fn(
+                    params, mt.state, jax.random.PRNGKey(4), batch, True
+                )
+                return loss
+
+            return jax.value_and_grad(scalar)(mt.params)
+
+        v_f, g_f = run("1")
+        v_x, g_x = run("0")
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+        flat_f = jax.tree_util.tree_leaves(g_f)
+        flat_x = jax.tree_util.tree_leaves(g_x)
+        assert len(flat_f) == len(flat_x)
+        for a_f, a_x in zip(flat_f, flat_x):
+            np.testing.assert_allclose(
+                np.asarray(a_f), np.asarray(a_x), rtol=2e-4, atol=2e-5
+            )
+    finally:
+        convops.set_precision("high")
+
+
+def test_unetres_fused_gating_wide_input():
+    """Inputs wider than the VMEM guard fall back to the XLA loss."""
+    from cae_tools_tpu.models.unet_model import UNETRes
+
+    mt = UNETRes(encoded_dim_size=8, fc_size=16)
+    mt.spec = create_model_spec(
+        input_size=(16, 16), input_channels=13,
+        output_size=(64, 64), output_channels=1,
+    )
+    mt.input_shape = (13, 16, 16)
+    mt.output_shape = (1, 64, 64)
+    mt._build_modules()
+    os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
+    try:
+        assert not mt._use_fused_train_tail()  # 13 channels > _MAX_RES_CIN
+    finally:
+        del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]

@@ -102,3 +102,40 @@ def test_trainer_reuses_compiled_graphs_across_fits():
     tr.fit(params, {}, data2, data2, hist)
     assert traces["n"] > first
     assert len(tr._compiled) == 2
+
+
+def test_streaming_trainer_with_fused_tail_loss():
+    """The fused Pallas train loss runs through the streaming (per-batch
+    jitted step) path too — trainers share one loss_fn contract."""
+    import os
+
+    from cae_tools_tpu.models.conv_ae_model import ConvAEModel
+    from cae_tools_tpu.models.sizer import create_model_spec
+    from cae_tools_tpu.ops import convops
+
+    convops.set_precision("highest")
+    os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
+    try:
+        mt = ConvAEModel(encoded_dim_size=8, fc_size=16)
+        mt.spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(64, 64), output_channels=1,
+        )
+        mt._build_modules()
+        mt._init_params(jax.random.PRNGKey(0))
+        assert mt._use_fused_train_tail()
+        loss_fn = mt._make_loss_fn()
+        rng = np.random.default_rng(3)
+        x = rng.random((12, 16, 16, 1), dtype=np.float32)
+        y = rng.random((12, 64, 64, 1), dtype=np.float32)
+        cfg = TrainConfig(batch_size=4, nr_epochs=4, test_interval=2,
+                          lr=1e-3, optimizer="adam_l2")
+        tr = StreamingTrainer(loss_fn, cfg)
+        hist = {"train_loss": [], "test_loss": [], "nr_epochs": 0}
+        _, _, tl, te = tr.fit(
+            mt.params, mt.state, {"x": x, "y": y}, {"x": x, "y": y}, hist
+        )
+        assert np.isfinite(tl) and np.isfinite(te)
+    finally:
+        del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+        convops.set_precision("high")

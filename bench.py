@@ -210,8 +210,13 @@ def build_jax_convae_train(spec, latent, fc, batch, k_steps, fused_tail=False):
     return run, (params, state, opt_state), (x, y)
 
 
-def build_jax_unet_train(batch, k_steps, fused_tail=False):
-    """K UNET train steps per ``lax.scan`` dispatch (see convae twin)."""
+def build_jax_unet_train(batch, k_steps, fused_tail=False, residual=False):
+    """K UNET train steps per ``lax.scan`` dispatch (see convae twin).
+
+    ``residual=True`` builds the UNETRes form: linear decoder head, the
+    bilinear-up + 1x1-projected base estimate plus res_scale * residual
+    (``models/unet_model.py::UNETRes``); fused uses the residual-stats
+    kernel that keeps the whole head in VMEM."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -228,11 +233,17 @@ def build_jax_unet_train(batch, k_steps, fused_tail=False):
     skip_shapes = [tuple(l.get_output_dimensions()) for l in spec.input_layers[:-1]]
     dec = M.UNetDecoder(
         spec.output_layers, 32, 128, dropout_rate=0.1,
-        skip_shapes=skip_shapes,
+        skip_shapes=skip_shapes, final_sigmoid=not residual,
     )
     ep, es = enc.init(jax.random.PRNGKey(0))
     dp, ds = dec.init(jax.random.PRNGKey(1))
     params = {"e": ep, "d": dp}
+    if residual:
+        params["bp"] = {
+            "w": jnp.full((1, 1, 1, 1), 1.0, jnp.float32),
+            "b": jnp.zeros((1,), jnp.float32),
+        }
+        params["rs"] = jnp.asarray(0.01, jnp.float32)
     state = {"e": es, "d": ds}
     tx = optax.adamw(1e-3, weight_decay=1e-5)
     opt_state = tx.init(params)
@@ -241,9 +252,11 @@ def build_jax_unet_train(batch, k_steps, fused_tail=False):
         # the TPU product-default UNET train loss since round 3: fused
         # ConvT+sigmoid+masked-stats Pallas pair on the final decoder stage
         # (ops/pallas/train_tail.py) — the full-resolution output never
-        # reaches HBM; masked MSE + Pearson come from 7 per-image moments
+        # reaches HBM; masked MSE + Pearson come from 7 per-image moments.
+        # UNETRes uses the residual form (whole residual head in VMEM).
         from cae_tools_tpu.ops.pallas.train_tail import (
             last_stage_masked_stats,
+            last_stage_residual_stats,
         )
 
         interpret = jax.default_backend() != "tpu"
@@ -259,9 +272,15 @@ def build_jax_unet_train(batch, k_steps, fused_tail=False):
             )
             cp = params["d"]["convs"][-1]
             m = jnp.ones((batch,) + y.shape[1:3] + (1,), jnp.float32)
-            stats = last_stage_masked_stats(
-                cp["w"], cp["b"], h, y, m, interpret=interpret
-            )
+            if residual:
+                stats = last_stage_residual_stats(
+                    cp["w"], cp["b"], params["rs"], params["bp"]["w"],
+                    params["bp"]["b"], h, x, y, m, interpret=interpret,
+                )
+            else:
+                stats = last_stage_masked_stats(
+                    cp["w"], cp["b"], h, y, m, interpret=interpret
+                )
             mse = L.masked_mse_from_stats(stats, ones_w)
             corr = jnp.mean(L.masked_pearson_from_stats(stats, ones_w))
             return mse + (1.0 - corr), {"e": es2, "d": ds2}
@@ -272,6 +291,14 @@ def build_jax_unet_train(batch, k_steps, fused_tail=False):
             r1, r2 = jax.random.split(rng)
             (z, skips), es2 = enc.apply(params["e"], state["e"], x, True, rng=r1)
             out, ds2 = dec.apply(params["d"], state["d"], z, skips, True, rng=r2)
+            if residual:
+                from cae_tools_tpu.ops import convops
+
+                up = jax.image.resize(
+                    x, (batch,) + y.shape[1:3] + (x.shape[3],), "bilinear"
+                )
+                base = convops.conv2d(up, params["bp"]["w"]) + params["bp"]["b"]
+                out = base + params["rs"] * out
             mask = jnp.ones_like(out)
             mse = L.masked_mse(out, y, mask)
             corr = jnp.mean(L.masked_pearson(out, y, mask))
@@ -627,13 +654,16 @@ def measure_one(metric: str) -> dict:
         )
         ips = _TRAIN_BATCH / time_jax_train_scan(run, carry, data, k)
         return {metric: ips}
-    if metric in ("train_unet", "train_unet_fused"):
+    if metric in ("train_unet", "train_unet_fused",
+                  "train_unetres", "train_unetres_fused"):
         # own process (scan timing amortizes any dispatch tax to <2%, and a
         # stalled UNET compile must not take the ConvAE number down with it)
         convops.set_precision("high")
         k = _TRAIN_SCAN_STEPS
         urun, ucarry, udata = build_jax_unet_train(
-            _UNET_BATCH, k, fused_tail=metric == "train_unet_fused"
+            _UNET_BATCH, k,
+            fused_tail=metric.endswith("_fused"),
+            residual="unetres" in metric,
         )
         unet_ips = _UNET_BATCH / time_jax_train_scan(urun, ucarry, udata, k)
         return {metric: unet_ips}
@@ -733,6 +763,8 @@ _TRAIN_METRICS = (
     "train_convae_fused_bf16",  # fused tail + 1-pass bf16 interior convs
     "train_unet_fused",  # UNET product-default train loss (fused last stage)
     "train_unet",        # UNET XLA train loss (the fused path's baseline)
+    "train_unetres_fused",  # UNETRes residual head fused in-kernel
+    "train_unetres",        # UNETRes XLA twin
     "train_varae",    # Pallas MS-SSIM value+grad in the loss
     "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
 )
@@ -751,7 +783,8 @@ _METRICS = (
 )
 _ALL_KEYS = ("apply_fused", "train_convae_fused", "train_convae",
              "train_convae_fused_bf16",
-             "train_unet_fused", "train_unet", "train_varae",
+             "train_unet_fused", "train_unet",
+             "train_unetres_fused", "train_unetres", "train_varae",
              "train_convae_bf16", "apply_unet_fused", "apply_unet",
              "apply_xla_high", "apply_bf16", "apply_bf16_weights")
 
@@ -794,6 +827,8 @@ def _build_result(rates, torch_stats, elapsed_s):
         "train_convae_bf16": "train_convae_bf16_images_per_sec",
         "train_unet": "train_unet_images_per_sec",
         "train_unet_fused": "train_unet_fused_images_per_sec",
+        "train_unetres": "train_unetres_images_per_sec",
+        "train_unetres_fused": "train_unetres_fused_images_per_sec",
         "train_varae": "train_varae_images_per_sec",
         "apply_unet_fused": "apply_unet_fused_images_per_sec",
         "apply_unet": "apply_unet_images_per_sec",

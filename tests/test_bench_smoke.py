@@ -32,7 +32,7 @@ def test_bench_emits_parseable_headline_record():
         # interpret-mode Pallas grads are minutes-slow on CPU; the fused
         # train metrics are covered by tests/test_train_tail.py instead
         CAE_BENCH_SKIP="train_convae_fused,train_unet_fused,"
-        "train_convae_fused_bf16",
+        "train_convae_fused_bf16,train_unetres_fused",
     )
     out = subprocess.run(
         [sys.executable, BENCH], env=env, text=True, timeout=420,

@@ -287,36 +287,55 @@ class BaseModel:
         )
         return out[:n]
 
+    def _forward_denorm_nchw_p(self, params, state, x, lo, rng):
+        """Eval forward fused with output denormalisation -> NCHW f32.
+
+        ``lo``/``rng`` are traced f32 scalars (min_output, max-min).
+        Default: forward, then the affine + layout hop in XLA — which
+        fuses them into the graph's trailing elementwise ops for free.
+        Models whose apply path *ends inside a Pallas kernel* (ConvAE,
+        VarAE, UNET fused tails) override this to fold the affine into
+        the kernel's final activation instead: Pallas is a fusion
+        barrier, so the XLA form costs a full-resolution HBM read+write
+        there.
+        """
+        # denormalise in f32: Kelvin-scale values quantise badly in bf16
+        # (~0.25 absolute at 292K)
+        y = self._forward_eval_p(params, state, x).astype(jnp.float32)
+        y = lo + y * rng
+        if y.shape[-1] == 1:  # NHWC -> NCHW is a free reshape
+            return y.reshape(y.shape[0], 1, y.shape[1], y.shape[2])
+        return jnp.transpose(y, (0, 3, 1, 2))
+
     def _predict_denorm_nchw(self, x_np: np.ndarray, lo: float, hi: float):
         """Fused predict + denormalise + NHWC->NCHW transpose on device.
 
         One jit dispatch and one device->host copy for the whole dataset —
         the reference's per-batch score loop + host-side denormalise
         (``base_model.py:145-152``) collapsed into the compiled graph.
+        The normalisation scalars ride as traced arguments, so models
+        applied to differently-normalised datasets share one executable.
         """
         x_np, n, bs, chunks, n_pad = self._pad_cases(x_np)
-        key = ("predict_denorm", x_np.shape, bs, float(lo), float(hi))
+        key = ("predict_denorm", x_np.shape, bs)
         if key not in self._apply_cache:
 
             @jax.jit
-            def run(params, state, xb):
+            def run(params, state, xb, lo_s, rng_s):
                 yb = jax.lax.map(
-                    lambda b: self._forward_eval_p(params, state, b), xb
+                    lambda b: self._forward_denorm_nchw_p(
+                        params, state, b, lo_s, rng_s
+                    ),
+                    xb,
                 )
-                # denormalise in f32: Kelvin-scale values quantise badly
-                # in bf16 (~0.25 absolute at 292K)
-                yb = yb.astype(jnp.float32)
-                yb = lo + yb * (hi - lo)
-                yb = yb.reshape((n_pad,) + yb.shape[2:])
-                if yb.shape[-1] == 1:  # NHWC -> NCHW is a free reshape
-                    return yb.reshape(yb.shape[0], 1, yb.shape[1], yb.shape[2])
-                return jnp.transpose(yb, (0, 3, 1, 2))
+                return yb.reshape((n_pad,) + yb.shape[2:])
 
             self._apply_cache[key] = run
         params, state = self._apply_params_state()
         out = np.asarray(
             self._apply_cache[key](
-                params, state, self._put_chunked(x_np, chunks, bs)
+                params, state, self._put_chunked(x_np, chunks, bs),
+                jnp.float32(lo), jnp.float32(hi - lo),
             )
         )
         return out[:n]

@@ -229,6 +229,24 @@ class ConvAEModel(BaseModel):
         )
         return y
 
+    def _forward_denorm_nchw_p(self, params, state, x, lo, rng):
+        # product apply: fold the denormalisation affine into the Pallas
+        # tail's final activation and emit NCHW natively — saves the
+        # full-resolution XLA affine pass the kernel boundary would
+        # otherwise force (see BaseModel._forward_denorm_nchw_p)
+        if not self._use_fused_decoder():
+            return super()._forward_denorm_nchw_p(params, state, x, lo, rng)
+        from ..ops.pallas.decoder_kernel import decoder_apply_fused_tail
+
+        z, _ = self.encoder.apply(
+            params["encoder"], state["encoder"], x, train=False
+        )
+        return decoder_apply_fused_tail(
+            self.decoder, params["decoder"], state["decoder"], z,
+            interpret=jax.default_backend() != "tpu",
+            denorm=(lo, rng), nchw_out=True,
+        )
+
     def _use_fused_train_tail(self):
         """Fused ConvT+sigmoid+SSE Pallas pair on the training loss (TPU
         default).  ``CAE_TPU_FUSED_TRAIN_TAIL=1|0`` overrides; the final

@@ -198,6 +198,24 @@ class UNET(BaseModel):
     def _forward_eval_p(self, params, state, x):
         return self._unet_core_eval(params, state, x)
 
+    def _forward_denorm_nchw_p(self, params, state, x, lo, rng):
+        # product apply: denorm affine folded into the fused Pallas tail
+        # (see ConvAEModel._forward_denorm_nchw_p).  UNETRes overrides this
+        # back to the XLA default — its residual head runs *after* the
+        # core, and XLA fuses the affine into the head for free there.
+        if not self._use_fused_decoder():
+            return super()._forward_denorm_nchw_p(params, state, x, lo, rng)
+        from ..ops.pallas.decoder_kernel import unet_decoder_apply_fused_tail
+
+        (z, skips), _ = self.encoder.apply(
+            params["encoder"], state["encoder"], x, train=False
+        )
+        return unet_decoder_apply_fused_tail(
+            self.decoder, params["decoder"], state["decoder"], z, skips,
+            interpret=jax.default_backend() != "tpu",
+            denorm=(lo, rng), nchw_out=True,
+        )
+
     def _make_content_loss(self):
         """Content-loss term on a network output: masked MSE + Pearson
         (+ optional ``--additional-loss``).  Split from the forward pass so
@@ -660,6 +678,14 @@ class UNETRes(UNET):
         # fused-tail-capable core (linear final act), then the residual head
         out = self._unet_core_eval(params, state, x)
         return self._residual_head(params, x, out)
+
+    def _forward_denorm_nchw_p(self, params, state, x, lo, rng):
+        # the residual head runs after the core in XLA, which fuses the
+        # denorm affine into it for free — do NOT inherit UNET's
+        # fold-into-kernel form (it would skip the head)
+        return BaseModel._forward_denorm_nchw_p(
+            self, params, state, x, lo, rng
+        )
 
     def _use_fused_train_tail(self):
         """Residual form of the fused training tail: the whole residual

@@ -116,6 +116,22 @@ class VarAEModel(ConvAEModel):
         )
         return y
 
+    def _forward_denorm_nchw_p(self, params, state, x, lo, rng):
+        # product apply with the denorm affine folded into the Pallas tail
+        # (see ConvAEModel._forward_denorm_nchw_p); decodes from mu
+        if not self._use_fused_decoder():
+            return super()._forward_denorm_nchw_p(params, state, x, lo, rng)
+        from ..ops.pallas.decoder_kernel import decoder_apply_fused_tail
+
+        (mu, _logvar), _ = self.encoder.apply(
+            params["encoder"], state["encoder"], x, train=False
+        )
+        return decoder_apply_fused_tail(
+            self.decoder, params["decoder"], state["decoder"], mu,
+            interpret=jax.default_backend() != "tpu",
+            denorm=(lo, rng), nchw_out=True,
+        )
+
     def _min_output_hw(self):
         _, oy, ox = self.output_shape
         return min(oy, ox)

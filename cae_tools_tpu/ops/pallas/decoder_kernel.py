@@ -172,8 +172,10 @@ def _stage_fused(chans, w_ref, b_ref, w_off, b_off, geom, act, er_ref, fc_ref):
     return out
 
 
-def _tail_kernel(x_ref, w_ref, b_ref, *refs, geoms, acts):
-    # refs = [er_0, fc_0, er_1, fc_1, ..., out_ref]
+def _tail_kernel(x_ref, w_ref, b_ref, *refs, geoms, acts, denorm=False):
+    # refs = [d_ref?, er_0, fc_0, er_1, fc_1, ..., out_ref]
+    if denorm:
+        d_ref, *refs = refs
     out_ref = refs[-1]
     chans = [x_ref[0, c] for c in range(geoms[0][2])]
     w_off = b_off = 0
@@ -186,6 +188,13 @@ def _tail_kernel(x_ref, w_ref, b_ref, *refs, geoms, acts):
         w_off += k_h * k_w * cin * cout
         b_off += cout
     for c, y in enumerate(chans):
+        if denorm:
+            # output denormalisation folded into the final activation:
+            # lo + y*range, same f32 op order as the XLA affine it replaces
+            # (base.py::_predict_denorm_nchw) — saves that pass's
+            # full-resolution HBM read+write (Pallas is a fusion barrier,
+            # so XLA could never fuse it in)
+            y = d_ref[0] + y * d_ref[1]
         out_ref[0, c] = y
 
 
@@ -194,13 +203,17 @@ def _tail_kernel(x_ref, w_ref, b_ref, *refs, geoms, acts):
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("geoms", "acts", "interpret"))
-def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False):
+def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False,
+              d_flat=None):
     n = x_nchw.shape[0]
     cin0 = geoms[0][2]
     i_h, i_w = geoms[0][4], geoms[0][5]
     cout_last = geoms[-1][3]
     o_h, o_w = geoms[-1][6], geoms[-1][7]
-    kernel = functools.partial(_tail_kernel, geoms=geoms, acts=acts)
+    has_denorm = d_flat is not None
+    kernel = functools.partial(
+        _tail_kernel, geoms=geoms, acts=acts, denorm=has_denorm
+    )
 
     # per-stage 0/1 parity-expansion matrices (shared across the grid)
     ef_arrays = []
@@ -219,6 +232,10 @@ def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False):
             ),
         ]
 
+    d_args = (d_flat,) if has_denorm else ()
+    d_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] if has_denorm else []
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -229,6 +246,7 @@ def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False):
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *d_specs,
             *ef_specs,
         ],
         out_specs=pl.BlockSpec(
@@ -237,7 +255,7 @@ def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((n, cout_last, o_h, o_w), jnp.float32),
         interpret=interpret,
-    )(x_nchw, w_flat, b_flat, *ef_arrays)
+    )(x_nchw, w_flat, b_flat, *d_args, *ef_arrays)
     return out
 
 
@@ -320,13 +338,20 @@ def tail_start_index(decoder) -> int | None:
 
 
 def decoder_apply_fused_tail(
-    decoder, params, state, z, start=None, interpret=False
+    decoder, params, state, z, start=None, interpret=False,
+    denorm=None, nchw_out=False,
 ):
     """Eval-mode ConvDecoder.apply with the tail stages fused in Pallas.
 
     Bit-compatible contract: matches ``decoder.apply(..., train=False)`` to
     f32 rounding (the kernel is plain f32 VPU math; the XLA path's output
     differs only by its conv precision mode).
+
+    ``denorm=(lo, range)`` (traced f32 scalars) folds the output
+    denormalisation ``lo + range*y`` into the kernel's final activation —
+    the product apply path's own affine, which XLA cannot fuse across the
+    Pallas call boundary.  ``nchw_out=True`` returns the kernel's native
+    NCHW layout (the product apply's final layout) without the NHWC hop.
     """
     if start is None:
         start = tail_start_index(decoder)
@@ -359,8 +384,20 @@ def decoder_apply_fused_tail(
         decoder, params, state, start
     )
     x_nchw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
-    out = _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret)
-    return _nchw_to_nhwc(out)
+    out = _run_tail(
+        x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret,
+        d_flat=_denorm_flat(denorm),
+    )
+    return out if nchw_out else _nchw_to_nhwc(out)
+
+
+def _denorm_flat(denorm):
+    if denorm is None:
+        return None
+    lo, rng = denorm
+    return jnp.stack(
+        [jnp.asarray(lo, jnp.float32), jnp.asarray(rng, jnp.float32)]
+    )
 
 
 def _nchw_to_nhwc(out):
@@ -422,14 +459,16 @@ def unet_tail_start_index(decoder) -> int | None:
 
 
 def unet_decoder_apply_fused_tail(
-    decoder, params, state, z, skips, start=None, interpret=False
+    decoder, params, state, z, skips, start=None, interpret=False,
+    denorm=None, nchw_out=False,
 ):
     """Eval-mode ``UNetDecoder.apply`` with the skip-free tail fused.
 
     Head stages (FC pyramid + skip-consuming stages) replicate
     ``UNetDecoder.apply(train=False)`` exactly (dropout is a no-op in
     eval); the tail runs in the Pallas kernel with folded BatchNorm.
-    Bit-compatible to f32 rounding, same contract as the ConvAE twin."""
+    Bit-compatible to f32 rounding, same contract as the ConvAE twin
+    (incl. the ``denorm``/``nchw_out`` product-apply fusion)."""
     if start is None:
         start = unet_tail_start_index(decoder)
     assert start is not None, "unsupported UNET decoder geometry for fused tail"
@@ -479,5 +518,8 @@ def unet_decoder_apply_fused_tail(
         decoder, params, state, start, final_act=final_act
     )
     x_nchw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
-    out = _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret)
-    return _nchw_to_nhwc(out)
+    out = _run_tail(
+        x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret,
+        d_flat=_denorm_flat(denorm),
+    )
+    return out if nchw_out else _nchw_to_nhwc(out)

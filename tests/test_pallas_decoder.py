@@ -241,3 +241,125 @@ def test_unetres_model_fused_apply_parity(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-5, rtol=0
     )
+
+
+def test_fused_tail_denorm_matches_affine():
+    """denorm=(lo, range) in the kernel == affine applied to the plain
+    fused output; nchw_out returns the kernel-native layout."""
+    convops.set_precision("highest")
+    try:
+        spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(64, 64), output_channels=1,
+        )
+        dec, dp, ds = _decoder_with_state(spec, seed=7)
+        z = jnp.asarray(
+            np.random.default_rng(8).normal(size=(3, 16)).astype(np.float32)
+        )
+        plain = decoder_apply_fused_tail(dec, dp, ds, z, interpret=True)
+        lo, rng = jnp.float32(271.5), jnp.float32(24.25)
+        out = decoder_apply_fused_tail(
+            dec, dp, ds, z, interpret=True, denorm=(lo, rng), nchw_out=True
+        )
+        assert out.shape == (3, 1, 64, 64)
+        ref = np.asarray(lo) + np.asarray(plain) * np.asarray(rng)
+        ref_nchw = np.transpose(ref, (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            np.asarray(out), ref_nchw, rtol=1e-6, atol=1e-5
+        )
+    finally:
+        convops.set_precision("high")
+
+
+def test_model_predict_denorm_fused_path(monkeypatch, tmp_path_factory):
+    """ConvAEModel._predict_denorm_nchw routes the denorm affine into the
+    Pallas tail when fused (interpret on CPU) and matches the XLA path."""
+    from cae_tools_tpu.data.datagen import generate_spec_files
+    from cae_tools_tpu.models import ConvAEModel
+    from cae_tools_tpu.xrcompat import xr
+
+    root = str(tmp_path_factory.mktemp("fdn"))
+    folder = generate_spec_files("circle", root, n=8, seed=11)
+    train_ds = xr.open_dataset(folder + "/train.nc")
+    test_ds = xr.open_dataset(folder + "/test.nc")
+    mt = ConvAEModel(batch_size=4, nr_epochs=2, test_interval=2,
+                     encoded_dim_size=4, fc_size=8)
+    mt.train(["lowres"], "hires", train_ds, test_ds)
+
+    x = np.random.default_rng(1).random((6, 16, 16, 1), np.float32)
+    lo, hi = 270.0, 295.0  # Kelvin-scale output normalisation
+    monkeypatch.delenv("CAE_TPU_FUSED_DECODER", raising=False)
+    assert not mt._use_fused_decoder()
+    ref = mt._predict_denorm_nchw(x, lo, hi)
+
+    monkeypatch.setenv("CAE_TPU_FUSED_DECODER", "1")
+    mt._apply_cache = {}
+    assert mt._use_fused_decoder()
+    out = mt._predict_denorm_nchw(x, lo, hi)
+    assert out.shape == ref.shape == (6, 1, 256, 256)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-3)
+
+
+def test_unet_fused_tail_denorm_matches_affine():
+    from cae_tools_tpu.ops.pallas.decoder_kernel import (
+        unet_decoder_apply_fused_tail,
+    )
+
+    convops.set_precision("highest")
+    try:
+        enc, (ep, es), dec, (dp, ds) = _unet_modules(
+            out_size=(64, 64), seed=13
+        )
+        x = jnp.asarray(
+            np.random.default_rng(14).random((2, 16, 16, 1), np.float32)
+        )
+        (z, skips), _ = enc.apply(ep, es, x, train=False)
+        plain = unet_decoder_apply_fused_tail(
+            dec, dp, ds, z, skips, interpret=True
+        )
+        lo, rng = jnp.float32(-3.0), jnp.float32(6.5)
+        out = unet_decoder_apply_fused_tail(
+            dec, dp, ds, z, skips, interpret=True,
+            denorm=(lo, rng), nchw_out=True,
+        )
+        ref = np.asarray(lo) + np.asarray(plain) * np.asarray(rng)
+        np.testing.assert_allclose(
+            np.asarray(out), np.transpose(ref, (0, 3, 1, 2)),
+            atol=1e-5, rtol=0,
+        )
+    finally:
+        convops.set_precision("high")
+
+
+def test_unetres_predict_denorm_keeps_residual_head(monkeypatch):
+    """UNETRes must NOT inherit UNET's fold-into-kernel denorm (the
+    residual head runs after the core); fused on == fused off."""
+    from cae_tools_tpu.models.unet_model import UNETRes
+
+    mt = UNETRes.__new__(UNETRes)
+    mt.input_shape = (1, 16, 16)
+    mt.output_shape = (1, 256, 256)
+    mt.encoded_dim_size = 16
+    mt.fc_size = 32
+    enc, (ep, es), dec, (dp, ds) = _unet_modules(final_sigmoid=False)
+    mt.encoder, mt.decoder = enc, dec
+    mt.params = {
+        "encoder": ep, "decoder": dp,
+        "base_proj": {
+            "w": jnp.full((1, 1, 1, 1), 1.0, jnp.float32),
+            "b": jnp.zeros((1,), jnp.float32),
+        },
+        "res_scale": jnp.asarray(0.01, jnp.float32),
+    }
+    mt.state = {"encoder": es, "decoder": ds}
+    x = jnp.asarray(
+        np.random.default_rng(15).random((2, 16, 16, 1), np.float32)
+    )
+    lo, rng = jnp.float32(270.0), jnp.float32(25.0)
+    monkeypatch.setenv("CAE_TPU_FUSED_DECODER", "0")
+    ref = mt._forward_denorm_nchw_p(mt.params, mt.state, x, lo, rng)
+    monkeypatch.setenv("CAE_TPU_FUSED_DECODER", "1")
+    out = mt._forward_denorm_nchw_p(mt.params, mt.state, x, lo, rng)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-3, rtol=0
+    )

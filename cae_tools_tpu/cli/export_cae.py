@@ -1,0 +1,54 @@
+"""``export_cae`` console entry point: trained model folder -> standalone
+serving bundle (serialized jax.export graph + weights + manifest).
+
+No reference counterpart (the reference deploys by re-running the training
+package per dataset); see cae_tools_tpu/serve/.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("output_folder", help="folder to write the serving bundle to")
+    parser.add_argument("--model-folder", help="trained model folder to export", required=True)
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="per-dispatch batch of the exported graph (default: the model's training batch size; the bundle loader pads/chunks arbitrary case counts onto it)")
+    parser.add_argument("--platforms", nargs="+", default=None,
+                        help="target platform(s) for the exported graph, e.g. 'tpu' or 'cpu' (default: the current JAX backend)")
+    parser.add_argument("--precision", choices=["highest", "high", "default"], default="high",
+                        help="conv/matmul precision baked into the exported graph")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ..ops import convops
+    from ..serve import export_bundle
+    from .common import enable_cli_compile_cache
+
+    enable_cli_compile_cache()
+    convops.set_precision(args.precision)
+
+    manifest = export_bundle(
+        args.model_folder,
+        args.output_folder,
+        batch_size=args.batch_size,
+        platforms=args.platforms,
+    )
+    print(
+        "Exported %s (batch %d, platforms %s) to %s"
+        % (
+            manifest["model_type"],
+            manifest["batch_size"],
+            ",".join(manifest["platforms"]),
+            args.output_folder,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Serving bundles: export a trained model folder via jax.export, reload
+with the standalone loader, and check raw-input predictions match the
+product apply path exactly (serve/ has no reference counterpart)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cae_tools_tpu.models import load_model
+from cae_tools_tpu.models.conv_ae_model import ConvAEModel
+from cae_tools_tpu.models.linear_model import LinearModel
+from cae_tools_tpu.serve import export_bundle, load_bundle
+from cae_tools_tpu.xrcompat import xr
+
+
+def _tiny_ds(n=10, seed=0):
+    """Kelvin-scale 4x4 -> 16x16 pairs (block-mean related)."""
+    rng = np.random.default_rng(seed)
+    hi = 280.0 + rng.random((n, 1, 16, 16)).astype(np.float32) * 15.0
+    lo = hi.reshape(n, 1, 4, 4, 4, 4).mean(axis=(3, 5))
+    ds = xr.Dataset()
+    ds["hires"] = xr.DataArray(hi, dims=("n", "c", "y2", "x2"))
+    ds["lowres"] = xr.DataArray(lo, dims=("n", "c", "y1", "x1"))
+    return ds
+
+
+@pytest.fixture(scope="module")
+def convae_folder(tmp_path_factory):
+    folder = str(tmp_path_factory.mktemp("serve") / "convae")
+    mt = ConvAEModel(
+        batch_size=4, nr_epochs=2, test_interval=2,
+        encoded_dim_size=4, fc_size=8,
+    )
+    mt.train(["lowres"], "hires", _tiny_ds(), _tiny_ds(seed=1))
+    mt.save(folder)
+    return folder
+
+
+def _raw_nhwc(ds, var="lowres"):
+    return np.ascontiguousarray(
+        np.asarray(ds[var].values, np.float32).transpose(0, 2, 3, 1)
+    )
+
+
+def test_export_and_predict_matches_apply(convae_folder, tmp_path):
+    bundle_folder = str(tmp_path / "bundle")
+    manifest = export_bundle(convae_folder, bundle_folder, batch_size=4)
+    assert manifest["model_type"] == "ConvAEModel"
+    for f in ("apply.jaxexport", "weights.npz", "manifest.json"):
+        assert os.path.exists(os.path.join(bundle_folder, f)), f
+
+    # product apply path (normalises internally, emits denormalised NCHW)
+    mt = load_model(convae_folder)
+    score_ds = _tiny_ds(n=7, seed=2)  # 7: not a multiple of the batch
+    mt.apply(score_ds, ["lowres"], "pred")
+    ref = np.asarray(score_ds["pred"].values)
+
+    sm = load_bundle(bundle_folder)
+    out = sm.predict(_raw_nhwc(score_ds))
+    assert out.shape == ref.shape == (7, 1, 16, 16)
+    # identical math modulo jit re-linking; outputs are Kelvin-scale
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_export_linear_model(tmp_path):
+    folder = str(tmp_path / "linear")
+    mt = LinearModel(batch_size=5, nr_epochs=4, test_interval=2, lr=0.05)
+    mt.train(["lowres"], "hires", _tiny_ds(), _tiny_ds(seed=1))
+    mt.save(folder)
+
+    bundle_folder = str(tmp_path / "bundle")
+    export_bundle(folder, bundle_folder)  # default batch = model batch
+
+    score_ds = _tiny_ds(n=5, seed=3)
+    mt2 = load_model(folder)
+    mt2.apply(score_ds, ["lowres"], "pred")
+    ref = np.asarray(score_ds["pred"].values)
+
+    out = load_bundle(bundle_folder).predict(_raw_nhwc(score_ds))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_export_cli(convae_folder, tmp_path, capsys):
+    from cae_tools_tpu.cli.export_cae import main
+
+    bundle_folder = str(tmp_path / "cli_bundle")
+    main([bundle_folder, "--model-folder", convae_folder,
+          "--batch-size", "2"])
+    assert "Exported ConvAEModel (batch 2" in capsys.readouterr().out
+
+    sm = load_bundle(bundle_folder)
+    assert sm.batch_size == 2
+    out = sm.predict(_raw_nhwc(_tiny_ds(n=3, seed=4)))
+    assert out.shape == (3, 1, 16, 16)
+    assert np.isfinite(out).all()
+
+
+def test_bundle_rejects_wrong_geometry(convae_folder, tmp_path):
+    bundle_folder = str(tmp_path / "bundle")
+    export_bundle(convae_folder, bundle_folder, batch_size=2)
+    sm = load_bundle(bundle_folder)
+    with pytest.raises(ValueError, match="expected"):
+        sm.predict(np.zeros((2, 8, 8, 1), np.float32))

@@ -200,13 +200,18 @@ class BaseModel:
 
         loss_fn = wrap_loss_with_augment(loss_fn, self._augment_fn())
         force = "streaming" if getattr(self, "streaming", False) else None
-        return pick_trainer(
+        trainer = pick_trainer(
             loss_fn,
             config,
             mesh=self.mesh,
             data_bytes=data_nbytes(train_data),
             force=force,
         )
+        if hasattr(self, "tp_min_size"):
+            # keep train-time TP placement in sync with the model's
+            # apply-time knob (_tp_place) instead of the Trainer default
+            trainer.tp_min_size = self.tp_min_size
+        return trainer
 
     # ---- subclass compute hook -------------------------------------------
     def _forward_eval_p(self, params, state, x):

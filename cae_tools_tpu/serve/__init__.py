@@ -11,4 +11,4 @@ none of the model classes, torch interop, or netCDF machinery.
 """
 
 from .bundle import ServingModel, load_bundle  # noqa: F401
-from .export import build_serving_fn, export_bundle  # noqa: F401
+from .export import build_serving_fn, export_bundle, export_model  # noqa: F401

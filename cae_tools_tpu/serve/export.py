@@ -107,20 +107,32 @@ def _leaf_names(params_state):
 # export
 # --------------------------------------------------------------------------
 
-def export_bundle(model_folder, out_folder, batch_size=None, platforms=None):
+def export_bundle(model_folder, out_folder, batch_size=None, platforms=None,
+                  devices=None):
     """Export a trained model folder into a serving bundle folder.
 
     ``batch_size`` fixes the per-dispatch batch of the exported graph
     (default: the model's training batch size); the bundle loader pads and
     chunks arbitrary case counts onto it.  ``platforms`` (e.g.
     ``["tpu"]``, ``["cpu"]``) defaults to the current JAX backend.
+    ``devices=N`` exports a data-parallel graph: each dispatch batch is
+    sharded over an N-device mesh (weights replicated, XLA partitions the
+    forward per device) — the serving host must present >= N devices.
     Returns the manifest dict.
     """
-    from jax import export as jexport
-
     from ..models import load_model
 
-    mt = load_model(model_folder)
+    return export_model(
+        load_model(model_folder), out_folder,
+        batch_size=batch_size, platforms=platforms, devices=devices,
+    )
+
+
+def export_model(mt, out_folder, batch_size=None, platforms=None,
+                 devices=None):
+    """Export an in-memory trained model instance (see :func:`export_bundle`)."""
+    from jax import export as jexport
+
     if batch_size is None:
         batch_size = int(getattr(mt, "batch_size", 16) or 16)
     batch_size = int(batch_size)
@@ -166,7 +178,7 @@ def export_bundle(model_folder, out_folder, batch_size=None, platforms=None):
     manifest = {
         "format_version": FORMAT_VERSION,
         "model_type": type(mt).__name__,
-        "model_id": mt.get_model_id(),
+        "model_id": getattr(mt, "model_id", None),
         "batch_size": batch_size,
         "input_spec": mt.input_spec,
         "output_spec": mt.output_spec,

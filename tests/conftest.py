@@ -66,3 +66,25 @@ def circle_data(data_root):
     if xr.open_dataset(os.path.join(folder, "train.nc"))["hires"].shape[0] != n:
         generate_spec_files("circle", data_root, n=n, seed=1234, force=True)
     return folder
+
+
+def tiny_pair_ds(n=16, seed=0, out_hw=16, factor=4, kelvin=True):
+    """In-memory Kelvin-scale (out_hw/factor)² -> out_hw² pairs.
+
+    Geometry-agnostic tests (mesh plumbing, checkpoint resume, TP
+    placement) should use this instead of the 16x16->256x256 circle
+    fixtures: identical code paths, ~100x less compile+compute."""
+    import numpy as np
+
+    from cae_tools_tpu.xrcompat import xr
+
+    rng = np.random.default_rng(seed)
+    base = 280.0 if kelvin else 0.2
+    span = 15.0 if kelvin else 0.6
+    hi = base + rng.random((n, 1, out_hw, out_hw)).astype(np.float32) * span
+    in_hw = out_hw // factor
+    lo = hi.reshape(n, 1, in_hw, factor, in_hw, factor).mean(axis=(3, 5))
+    ds = xr.Dataset()
+    ds["hires"] = xr.DataArray(hi, dims=("n", "c", "y2", "x2"))
+    ds["lowres"] = xr.DataArray(lo, dims=("n", "c", "y1", "x1"))
+    return ds

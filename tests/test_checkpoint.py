@@ -283,17 +283,16 @@ def test_trainer_tp_resume_keeps_model_axis_sharding(tmp_path):
     )
 
 
-def test_stale_snapshot_is_not_rewound(tmp_path, circle_data, capsys):
+def test_stale_snapshot_is_not_rewound(tmp_path, capsys):
     """A --continue-training run that saved NO new orbax snapshot must not
     have its newer folder weights rewound to the old snapshot by the next
     --continue-training run (checkpoint.resume_trainer stale guard)."""
-    import os
+    from conftest import tiny_pair_ds
 
     from cae_tools_tpu.models.linear_model import LinearModel
-    from cae_tools_tpu.xrcompat import xr
 
-    train_ds = xr.open_dataset(os.path.join(circle_data, "train.nc"))
-    test_ds = xr.open_dataset(os.path.join(circle_data, "test.nc"))
+    train_ds = tiny_pair_ds(n=12, seed=41)
+    test_ds = tiny_pair_ds(n=12, seed=42)
     folder = str(tmp_path / "linear")
 
     # run A: snapshots on (orbax/10 written)

@@ -436,17 +436,20 @@ def test_hpo_vmap_mode_cli(small_data, tmp_path):
     assert "learning_rate" in out["best_params"]
 
 
-def test_hpo_per_trial_file_subsampling(data, tmp_path):
+def test_hpo_per_trial_file_subsampling(tmp_path):
     """Reference hypar_optim.py:40-41: each trial draws its own random
-    file subset; different trials see different data."""
-    import shutil
+    file subset; different trials see different data.  (Subsampling is
+    geometry-agnostic -> tiny pairs, not the 256x256 circle fixtures.)"""
+    from conftest import tiny_pair_ds
 
     # three distinct single-file "datasets"
     files = []
     for i in range(3):
         p = str(tmp_path / f"train_{i}.nc")
-        shutil.copy(os.path.join(data, "train.nc"), p)
+        tiny_pair_ds(n=10, seed=50 + i).to_netcdf(p)
         files.append(p)
+    test_file = str(tmp_path / "test.nc")
+    tiny_pair_ds(n=10, seed=60).to_netcdf(test_file)
 
     log_path = str(tmp_path / "sub.jsonl")
     space = {
@@ -457,7 +460,7 @@ def test_hpo_per_trial_file_subsampling(data, tmp_path):
     }
     opt = HyperOptimizer(
         train_inputs=files,
-        test_inputs=[os.path.join(data, "test.nc")],
+        test_inputs=[test_file],
         input_variables=["lowres"],
         output_variable="hires",
         work_folder=str(tmp_path / "trials"),

@@ -93,14 +93,12 @@ def test_trainer_runs_on_mesh_and_matches_single_device():
 
 
 def test_model_train_with_mesh(tmp_path_factory):
-    """End-to-end LinearModel.train with a mesh attached."""
-    from cae_tools_tpu.data.datagen import generate_spec_files
-    from cae_tools_tpu.xrcompat import xr
+    """End-to-end LinearModel.train with a mesh attached (geometry-agnostic
+    mesh plumbing -> tiny pairs, not the 256x256 circle fixtures)."""
+    from conftest import tiny_pair_ds
 
-    root = str(tmp_path_factory.mktemp("meshdata"))
-    folder = generate_spec_files("circle", root, n=16, seed=21)
-    train_ds = xr.open_dataset(folder + "/train.nc")
-    test_ds = xr.open_dataset(folder + "/test.nc")
+    train_ds = tiny_pair_ds(n=16, seed=21)
+    test_ds = tiny_pair_ds(n=16, seed=22)
 
     mt = LinearModel(batch_size=8, nr_epochs=4, test_interval=2, lr=0.05)
     mt.set_mesh(get_mesh(n_data=8, n_model=1))
@@ -299,35 +297,42 @@ def test_tp_linear_trainer_parity_vs_single_device():
     assert test_tp == pytest.approx(test_sd, rel=1e-4)
 
 
-def test_tp_linear_model_end_to_end(tmp_path, circle_data):
+def test_tp_linear_model_end_to_end(tmp_path):
     """--devices 4x2 semantics through the LinearModel product path: train
     + apply on a dp x tp mesh; apply parity vs the same weights applied
-    single-device."""
-    import os
+    single-device.  Tiny geometry with ``tp_min_size`` lowered so the
+    (c*y*x) x (C*Y*X) kernel still TP-shards (the production default
+    1<<20 targets the 16k x 65k Kelvin-scale weight)."""
+    from conftest import tiny_pair_ds
 
     from cae_tools_tpu.cli.common import mesh_from_flag
     from cae_tools_tpu.models.linear_model import LinearModel
-    from cae_tools_tpu.xrcompat import xr
 
     mesh = mesh_from_flag("4x2")
     assert dict(mesh.shape) == {"data": 4, "model": 2}
 
-    train_ds = xr.open_dataset(os.path.join(circle_data, "train.nc"))
-    test_ds = xr.open_dataset(os.path.join(circle_data, "test.nc"))
+    train_ds = tiny_pair_ds(n=12, seed=31, out_hw=32)
+    test_ds = tiny_pair_ds(n=12, seed=32, out_hw=32)
 
     mt = LinearModel(batch_size=4, nr_epochs=6, test_interval=3, lr=0.05)
+    mt.tp_min_size = 1024  # (8*8) x (32*32) kernel = 65k elements
     mt.set_mesh(mesh)
     mt.train(["lowres"], "hires", train_ds, test_ds)
+    # the dense kernel really is TP-placed on the model axis
+    from jax.sharding import PartitionSpec as P
+
+    placed, _ = mt._tp_place(mt.params, mt.state)
+    assert placed["fc"]["w"].sharding.spec == P(None, "model")
 
     folder = str(tmp_path / "tp_linear")
     mt.save(folder)
 
-    s_tp = xr.open_dataset(os.path.join(circle_data, "test.nc"))
+    s_tp = tiny_pair_ds(n=12, seed=32, out_hw=32)
     mt.apply(s_tp, ["lowres"], "prediction")
 
     mt_sd = LinearModel()
     mt_sd.load(folder)
-    s_sd = xr.open_dataset(os.path.join(circle_data, "test.nc"))
+    s_sd = tiny_pair_ds(n=12, seed=32, out_hw=32)
     mt_sd.apply(s_sd, ["lowres"], "prediction")
 
     a = np.asarray(s_tp["prediction"].values)

@@ -20,6 +20,8 @@ def build_parser():
                         help="target platform(s) for the exported graph, e.g. 'tpu' or 'cpu' (default: the current JAX backend)")
     parser.add_argument("--precision", choices=["highest", "high", "default"], default="high",
                         help="conv/matmul precision baked into the exported graph")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="export a data-parallel graph: each dispatch batch is sharded over this many devices (batch size must divide evenly; the serving host must present at least this many devices)")
     return parser
 
 
@@ -38,13 +40,15 @@ def main(argv=None):
         args.output_folder,
         batch_size=args.batch_size,
         platforms=args.platforms,
+        devices=args.devices,
     )
     print(
-        "Exported %s (batch %d, platforms %s) to %s"
+        "Exported %s (batch %d, platforms %s, devices %d) to %s"
         % (
             manifest["model_type"],
             manifest["batch_size"],
             ",".join(manifest["platforms"]),
+            manifest["devices"],
             args.output_folder,
         )
     )

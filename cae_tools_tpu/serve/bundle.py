@@ -21,6 +21,7 @@ class ServingModel:
     """
 
     def __init__(self, folder):
+        import jax
         from jax import export as jexport
 
         with open(os.path.join(folder, "manifest.json")) as f:
@@ -43,12 +44,42 @@ class ServingModel:
         self._out_lo = np.float32(self.manifest["out_lo"])
         self._out_rng = np.float32(self.manifest["out_rng"])
 
+        # bind the graph's device assignment to this host: a DP bundle
+        # (manifest "devices" > 1, exported with the batch sharded over a
+        # "data" mesh) runs over the first N local devices; a single-device
+        # bundle over device 0.  Weights and normalisation scalars are
+        # placed once here (replicated on the mesh), not re-uploaded per
+        # predict chunk.
+        n_dev = int(self.manifest.get("devices", 1))
+        if len(jax.devices()) < n_dev:
+            raise ValueError(
+                f"bundle was exported for {n_dev} devices; this host "
+                f"presents {len(jax.devices())}"
+            )
+        if n_dev > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            self._mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+            repl = NamedSharding(self._mesh, P())
+            self._batch_sharding = NamedSharding(self._mesh, P("data"))
+        else:
+            self._mesh = None
+            repl = jax.devices()[0]
+            self._batch_sharding = repl
+        self._dev_leaves = [jax.device_put(l, repl) for l in self.leaves]
+        self._dev_scalars = [
+            jax.device_put(v, repl)
+            for v in (self._in_lo, self._in_scale, self._out_lo, self._out_rng)
+        ]
+
     @property
     def platforms(self):
         return tuple(self._exported.platforms)
 
     def predict(self, x_raw_nhwc: np.ndarray) -> np.ndarray:
         """Raw (N, H, W, C) physical inputs -> (N, C', Y, X) predictions."""
+        import jax
+
         x = np.asarray(x_raw_nhwc, np.float32)
         b, h, w, c = self.manifest["input_shape_nhwc"]
         if x.ndim != 4 or x.shape[1:] != (h, w, c):
@@ -61,15 +92,16 @@ class ServingModel:
             x = np.concatenate(
                 [x, np.repeat(x[-1:], n_pad - n, axis=0)], axis=0
             )
+        in_lo, in_scale, out_lo, out_rng = self._dev_scalars
         chunks = [
             np.asarray(
                 self._exported.call(
-                    self.leaves,
-                    x[i : i + b],
-                    self._in_lo,
-                    self._in_scale,
-                    self._out_lo,
-                    self._out_rng,
+                    self._dev_leaves,
+                    jax.device_put(x[i : i + b], self._batch_sharding),
+                    in_lo,
+                    in_scale,
+                    out_lo,
+                    out_rng,
                 )
             )
             for i in range(0, n_pad, b)

@@ -137,6 +137,18 @@ def export_model(mt, out_folder, batch_size=None, platforms=None,
         batch_size = int(getattr(mt, "batch_size", 16) or 16)
     batch_size = int(batch_size)
 
+    n_dev = int(devices) if devices else 1
+    if n_dev > 1:
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by devices {n_dev}"
+            )
+        if len(jax.devices()) < n_dev:
+            raise ValueError(
+                f"devices={n_dev} requested but only "
+                f"{len(jax.devices())} JAX devices present at export time"
+            )
+
     c_in, y_in, x_in = mt.input_shape
     in_lo, in_scale, out_lo, out_rng = _channel_norm_vectors(mt)
 
@@ -155,11 +167,29 @@ def export_model(mt, out_folder, batch_size=None, platforms=None,
         jax.ShapeDtypeStruct((), np.float32),
         jax.ShapeDtypeStruct((), np.float32),
     )
+    if n_dev > 1:
+        # DP export: the dispatch batch is sharded over an n_dev "data"
+        # mesh, weights/scalars replicated; the graph is baked for
+        # exactly n_dev devices (jax.export records the assignment) and
+        # the loader re-binds it to the serving host's first n_dev
+        # devices (bundle.py::ServingModel).
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+        repl = NamedSharding(mesh, P())
+        batched = NamedSharding(mesh, P("data"))
+        jitted = jax.jit(
+            fn,
+            in_shardings=([repl] * len(leaves), batched, repl, repl, repl, repl),
+            out_shardings=batched,
+        )
+    else:
+        jitted = jax.jit(fn)
     disabled = [
         jexport.DisabledSafetyCheck.custom_call(t) for t in _TPU_CUSTOM_CALLS
     ]
     exported = jexport.export(
-        jax.jit(fn),
+        jitted,
         platforms=list(platforms) if platforms else None,
         disabled_checks=disabled,
     )(*args)
@@ -189,6 +219,7 @@ def export_model(mt, out_folder, batch_size=None, platforms=None,
         "out_lo": out_lo,
         "out_rng": out_rng,
         "platforms": list(exported.platforms),
+        "devices": int(exported.nr_devices),
         "jax_version": jax.__version__,
         "calling_convention_version": exported.calling_convention_version,
     }

@@ -102,3 +102,50 @@ def test_bundle_rejects_wrong_geometry(convae_folder, tmp_path):
     sm = load_bundle(bundle_folder)
     with pytest.raises(ValueError, match="expected"):
         sm.predict(np.zeros((2, 8, 8, 1), np.float32))
+
+
+def test_export_model_in_memory(tmp_path):
+    """export_model on a live (never-saved) model instance."""
+    from cae_tools_tpu.serve import export_model
+
+    mt = LinearModel(batch_size=4, nr_epochs=4, test_interval=2, lr=0.05)
+    mt.train(["lowres"], "hires", _tiny_ds(), _tiny_ds(seed=1))
+
+    bundle_folder = str(tmp_path / "bundle")
+    man = export_model(mt, bundle_folder, batch_size=4)
+    assert man["model_type"] == "LinearModel"
+    assert man["devices"] == 1
+
+    score_ds = _tiny_ds(n=6, seed=5)
+    mt.apply(score_ds, ["lowres"], "pred")
+    ref = np.asarray(score_ds["pred"].values)
+    out = load_bundle(bundle_folder).predict(_raw_nhwc(score_ds))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_export_dp_sharded(convae_folder, tmp_path):
+    """devices=4: the exported graph shards each dispatch batch over a
+    4-device "data" mesh; the loader rebinds it to this host's first 4
+    devices and predictions match the single-device product apply."""
+    bundle_folder = str(tmp_path / "bundle_dp")
+    manifest = export_bundle(
+        convae_folder, bundle_folder, batch_size=8, devices=4
+    )
+    assert manifest["devices"] == 4
+
+    score_ds = _tiny_ds(n=11, seed=6)  # pads 11 -> 16, two chunks
+    mt = load_model(convae_folder)
+    mt.apply(score_ds, ["lowres"], "pred")
+    ref = np.asarray(score_ds["pred"].values)
+
+    sm = load_bundle(bundle_folder)
+    out = sm.predict(_raw_nhwc(score_ds))
+    assert out.shape == ref.shape == (11, 1, 16, 16)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_export_dp_batch_divisibility(convae_folder, tmp_path):
+    with pytest.raises(ValueError, match="not divisible"):
+        export_bundle(
+            convae_folder, str(tmp_path / "b"), batch_size=6, devices=4
+        )

@@ -22,21 +22,27 @@ def build_parser():
                         help="conv/matmul precision baked into the exported graph")
     parser.add_argument("--devices", type=int, default=None,
                         help="export a data-parallel graph: each dispatch batch is sharded over this many devices (batch size must divide evenly; the serving host must present at least this many devices)")
+    parser.add_argument("--apply-dtype", choices=["float32", "bfloat16"], default="float32",
+                        help="compute dtype baked into the exported forward (normalisation and outputs stay float32), mirroring apply_cae --apply-dtype")
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from ..models import load_model
     from ..ops import convops
-    from ..serve import export_bundle
+    from ..serve import export_model
     from .common import enable_cli_compile_cache
 
     enable_cli_compile_cache()
     convops.set_precision(args.precision)
 
-    manifest = export_bundle(
-        args.model_folder,
+    mt = load_model(args.model_folder)
+    if args.apply_dtype != "float32":
+        mt.set_apply_dtype(args.apply_dtype)
+    manifest = export_model(
+        mt,
         args.output_folder,
         batch_size=args.batch_size,
         platforms=args.platforms,

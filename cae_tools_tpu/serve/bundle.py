@@ -38,6 +38,13 @@ class ServingModel:
                 z[k]
                 for k in sorted(z.files, key=lambda k: int(k.split("|", 1)[0]))
             ]
+        # ml_dtypes leaves (bf16 apply-dtype exports) are stored bit-cast
+        # to same-width integers; view them back per the manifest record
+        for i, want in enumerate(self.manifest.get("leaf_dtypes", [])):
+            if str(self.leaves[i].dtype) != want:
+                import ml_dtypes  # jax dependency; bundles stay torch-free
+
+                self.leaves[i] = self.leaves[i].view(np.dtype(want))
         self.batch_size = int(self.manifest["batch_size"])
         self._in_lo = np.asarray(self.manifest["in_lo"], np.float32)
         self._in_scale = np.asarray(self.manifest["in_scale"], np.float32)

@@ -152,7 +152,24 @@ def export_model(mt, out_folder, batch_size=None, platforms=None,
     c_in, y_in, x_in = mt.input_shape
     in_lo, in_scale, out_lo, out_rng = _channel_norm_vectors(mt)
 
-    leaves, treedef = jax.tree_util.tree_flatten((mt.params, mt.state))
+    # the apply-dtype cast happens on stored params in the product path
+    # (models/base.py::_apply_params_state); the export flattens raw
+    # params, so replicate it here — bf16 weights at rest halve both the
+    # bundle size and the serving-time weight HBM traffic
+    apply_dtype = getattr(mt, "apply_dtype", None)
+    params_state = (mt.params, mt.state)
+    if apply_dtype:
+        jdt = jnp.dtype(apply_dtype)
+
+        def _cast(leaf):
+            arr = jnp.asarray(leaf)
+            if jnp.issubdtype(arr.dtype, jnp.floating):
+                return arr.astype(jdt)
+            return arr
+
+        params_state = jax.tree_util.tree_map(_cast, params_state)
+
+    leaves, treedef = jax.tree_util.tree_flatten(params_state)
     fn = build_serving_fn(mt, treedef)
 
     def aval(leaf):
@@ -198,11 +215,19 @@ def export_model(mt, out_folder, batch_size=None, platforms=None,
     os.makedirs(out_folder, exist_ok=True)
     with open(os.path.join(out_folder, "apply.jaxexport"), "wb") as f:
         f.write(blob)
-    names = _leaf_names((mt.params, mt.state))
-    np.savez(
-        os.path.join(out_folder, "weights.npz"),
-        **{n: np.asarray(l) for n, l in zip(names, leaves)},
-    )
+    names = _leaf_names(params_state)
+    # npz cannot round-trip ml_dtypes (bfloat16 reloads as raw void):
+    # store such leaves bit-cast to a same-width integer and record the
+    # true dtypes for the loader to view back
+    leaf_dtypes = []
+    stored = {}
+    for n, l in zip(names, leaves):
+        arr = np.asarray(l)
+        leaf_dtypes.append(str(arr.dtype))
+        if arr.dtype.kind not in "fiub":  # ml_dtypes (bf16 etc.)
+            arr = arr.view(np.dtype(f"u{arr.dtype.itemsize}"))
+        stored[n] = arr
+    np.savez(os.path.join(out_folder, "weights.npz"), **stored)
 
     out_c, out_y, out_x = mt.output_shape
     manifest = {
@@ -220,6 +245,8 @@ def export_model(mt, out_folder, batch_size=None, platforms=None,
         "out_rng": out_rng,
         "platforms": list(exported.platforms),
         "devices": int(exported.nr_devices),
+        "apply_dtype": str(apply_dtype) if apply_dtype else "float32",
+        "leaf_dtypes": leaf_dtypes,
         "jax_version": jax.__version__,
         "calling_convention_version": exported.calling_convention_version,
     }

@@ -149,3 +149,31 @@ def test_export_dp_batch_divisibility(convae_folder, tmp_path):
         export_bundle(
             convae_folder, str(tmp_path / "b"), batch_size=6, devices=4
         )
+
+
+def test_export_bf16_apply_dtype(convae_folder, tmp_path):
+    """apply_dtype=bfloat16 export: weights stored at rest in bf16 (npz
+    bit-cast to uint16 + manifest leaf_dtypes record), predictions within
+    the 1-pass-bf16 error budget of the f32 product apply."""
+    from cae_tools_tpu.serve import export_model
+
+    mt = load_model(convae_folder)
+    score_ds = _tiny_ds(n=4, seed=7)
+    mt.apply(score_ds, ["lowres"], "pred")
+    ref = np.asarray(score_ds["pred"].values)
+
+    mt.set_apply_dtype("bfloat16")
+    bundle_folder = str(tmp_path / "bundle_bf16")
+    man = export_model(mt, bundle_folder, batch_size=4)
+    assert man["apply_dtype"] == "bfloat16"
+    assert "bfloat16" in man["leaf_dtypes"]
+
+    with np.load(os.path.join(bundle_folder, "weights.npz")) as z:
+        kinds = {z[k].dtype.kind for k in z.files}
+    assert "V" not in kinds  # no raw-void leaves; bf16 rides as uint16
+
+    sm = load_bundle(bundle_folder)
+    out = sm.predict(_raw_nhwc(score_ds))
+    # Kelvin-scale outputs; bf16 weight rounding budget (BASELINE.md)
+    np.testing.assert_allclose(out, ref, atol=0.5)
+    assert float(np.abs(out - ref).max()) > 0.0  # really ran reduced precision

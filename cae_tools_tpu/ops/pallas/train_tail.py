@@ -698,17 +698,23 @@ def _res_stats_bwd_kernel(xh_ref, y_ref, m_ref, xin_ref, w_ref, b_ref,
                     dx_ref, dw_ref, db_ref, geom)
 
 
+@functools.lru_cache(maxsize=None)
 def _resize_mats(i_h, i_w, o_h, o_w):
     """Separable bilinear-resize matrices matching ``jax.image.resize``
     (exact: resize is linear per axis, so resizing identity recovers the
-    operator).  Returns (A_h (o_h, i_h), A_w^T (i_w, o_w))."""
-    a_h = jax.image.resize(jnp.eye(i_h, dtype=jnp.float32), (o_h, i_h),
-                           method="bilinear")
-    a_wt = jnp.transpose(
-        jax.image.resize(jnp.eye(i_w, dtype=jnp.float32), (o_w, i_w),
-                         method="bilinear")
-    )
-    return np.asarray(a_h), np.asarray(a_wt)
+    operator).  Returns (A_h (o_h, i_h), A_w^T (i_w, o_w)).
+
+    Must run under ``ensure_compile_time_eval``: the caller sits inside
+    the jitted train step (epoch-scan trainer), where bare lax ops join
+    the ambient trace and the ``np.asarray`` below would see tracers."""
+    with jax.ensure_compile_time_eval():
+        a_h = jax.image.resize(jnp.eye(i_h, dtype=jnp.float32), (o_h, i_h),
+                               method="bilinear")
+        a_wt = jnp.transpose(
+            jax.image.resize(jnp.eye(i_w, dtype=jnp.float32), (o_w, i_w),
+                             method="bilinear")
+        )
+        return np.asarray(a_h), np.asarray(a_wt)
 
 
 def _run_res_stats_fwd(xh, y, m, xin, w_flat, b, rw, rb, s, geom, res_cin,

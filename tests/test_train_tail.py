@@ -643,6 +643,52 @@ def test_unetres_fused_loss_matches_xla_loss():
         convops.set_precision("high")
 
 
+def test_unetres_fused_loss_traces_under_jit():
+    """Product trainers jit the loss (epoch-scan/streaming step); the fused
+    residual path must trace under jit.  Regression: _resize_mats built
+    the bilinear operators with bare lax ops, which join the ambient
+    trace inside jit, and its np.asarray crashed on tracers — eager
+    value_and_grad tests never caught it, but every compiled trainer did."""
+    from cae_tools_tpu.models.unet_model import UNETRes
+
+    mt = UNETRes(encoded_dim_size=8, fc_size=16, dropout_rate=0.0)
+    mt.spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(64, 64), output_channels=1,
+    )
+    mt.input_shape = (1, 16, 16)
+    mt.output_shape = (1, 64, 64)
+    mt._build_modules()
+    mt._init_params(jax.random.PRNGKey(0))
+    os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
+    try:
+        assert mt._use_fused_train_tail()
+        loss_fn = mt._make_loss_fn()
+    finally:
+        del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "x": jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32)),
+        "y": jnp.asarray(rng.random((2, 64, 64, 1), dtype=np.float32)),
+        "m": jnp.ones((2, 64, 64, 1), jnp.float32),
+        "w": jnp.ones((2,), jnp.float32),
+    }
+
+    @jax.jit
+    def step(params):
+        def scalar(p):
+            loss, _ = loss_fn(p, mt.state, jax.random.PRNGKey(1), batch, True)
+            return loss
+
+        return jax.value_and_grad(scalar)(params)
+
+    v, g = step(mt.params)
+    assert np.isfinite(float(v))
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
+
+
 def test_unetres_fused_gating_wide_input():
     """Inputs wider than the VMEM guard fall back to the XLA loss."""
     from cae_tools_tpu.models.unet_model import UNETRes

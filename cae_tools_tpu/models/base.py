@@ -191,6 +191,24 @@ class BaseModel:
         # would be silently rewound — see checkpoint.resume_trainer)
         hist = getattr(self, "history", None) or {}
         trainer.resume_min_step = int(hist.get("nr_epochs", 0) or 0)
+        if (
+            not trainer.resume
+            and trainer.resume_min_step == 0
+            and model_path
+            and os.path.isdir(os.path.join(model_path, "orbax"))
+        ):
+            # fresh from-scratch train into a folder with a leftover orbax
+            # lineage: purge it — its steps would collide with the new
+            # run's numbering (orbax silently skips re-saving an existing
+            # step) and a later --continue-training could restore the dead
+            # lineage's weights over the retrained model
+            import shutil
+
+            print(
+                "[checkpoint] removing stale orbax snapshots from a "
+                "previous training run in " + model_path
+            )
+            shutil.rmtree(os.path.join(model_path, "orbax"))
 
     def _make_trainer(self, loss_fn, config, train_data):
         """Device-resident trainer by default; streaming for huge datasets

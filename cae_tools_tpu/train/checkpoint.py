@@ -38,6 +38,17 @@ def save_checkpoint(folder, step: int, params, state, opt_state=None,
     import orbax.checkpoint as ocp
 
     mgr = _manager(folder)
+    existing = mgr.latest_step()
+    if existing is not None and step <= existing:
+        # orbax silently refuses to re-save an existing step — a collision
+        # means the caller's step numbering lost track of an older lineage
+        # (should be prevented by the fresh-run purge + cumulative
+        # ckpt_base in resume_trainer); make it loud instead of silent
+        print(
+            f"[checkpoint] WARNING: snapshot step {step} <= existing "
+            f"latest {existing}; orbax will skip the save — stale lineage "
+            f"under {folder}/orbax?"
+        )
     payload = {"params": params, "state": state}
     if opt_state is not None:
         payload["opt_state"] = opt_state
@@ -73,23 +84,33 @@ def resume_trainer(trainer, template):
     Returns ``(restored_payload_or_None, ckpt_base)``.  Callers re-place
     the restored arrays on their mesh (replication/TP differs per
     trainer).
+
+    ``ckpt_base`` is the cumulative epoch count new snapshots are numbered
+    from.  When a snapshot is restored it is that snapshot's step; when
+    none is (fresh run, no snapshot, or stale snapshot) it is
+    ``resume_min_step`` — the folder's cumulative epoch count — so e.g. a
+    ``--continue-training`` run that adds orbax checkpointing to a folder
+    with 10 prior epochs numbers its snapshots 10+k, and a later run's
+    stale guard accepts them.
     """
-    if not (trainer.checkpoint_folder and trainer.resume):
+    min_step = int(getattr(trainer, "resume_min_step", 0) or 0)
+    if not trainer.checkpoint_folder:
         return None, 0
+    if not trainer.resume:
+        return None, min_step
     trainer.resume = False  # one-shot either way
     try:
         step = latest_step(trainer.checkpoint_folder)
     except Exception:
         step = None
     if step is None:
-        return None, 0
-    min_step = int(getattr(trainer, "resume_min_step", 0) or 0)
+        return None, min_step
     if step < min_step:
         print(
             f"[checkpoint] ignoring orbax snapshot at epoch {step}: the "
             f"model folder already contains {min_step} epochs of training"
         )
-        return None, 0
+        return None, min_step
     restored = restore_checkpoint(
         trainer.checkpoint_folder, step, template=template
     )

@@ -324,3 +324,85 @@ def test_stale_snapshot_is_not_rewound(tmp_path, capsys):
     assert "ignoring orbax snapshot" in out
     w_after_c = np.asarray(jax.tree_util.tree_leaves(mt3.params)[0])
     np.testing.assert_array_equal(w_after_c, w_after_b)
+
+
+def test_fresh_retrain_purges_stale_orbax_lineage(tmp_path, capsys):
+    """Training from scratch into a folder with a leftover orbax dir must
+    purge the dead lineage: its steps would collide with the new run's
+    numbering (orbax silently skips re-saving an existing step) and a
+    later --continue-training could restore the OLD run's weights over
+    the retrained model."""
+    from conftest import tiny_pair_ds
+
+    from cae_tools_tpu.models.linear_model import LinearModel
+
+    train_ds = tiny_pair_ds(n=12, seed=43)
+    test_ds = tiny_pair_ds(n=12, seed=44)
+    folder = str(tmp_path / "linear")
+
+    # run A: lineage 1, snapshots at 5/10
+    mt = LinearModel(batch_size=6, nr_epochs=10, test_interval=5, lr=0.05)
+    mt.checkpoint_interval = 5
+    mt.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert latest_step(folder) == 10
+    w_lineage1 = np.asarray(jax.tree_util.tree_leaves(mt.params)[0]).copy()
+
+    # run B: fresh retrain into the same folder (different lr so the
+    # lineages' weights differ); the stale orbax dir must be purged and
+    # the new run's snapshots actually written
+    mt2 = LinearModel(batch_size=6, nr_epochs=10, test_interval=5, lr=0.02)
+    mt2.checkpoint_interval = 5
+    capsys.readouterr()
+    mt2.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert "removing stale orbax snapshots" in capsys.readouterr().out
+    assert latest_step(folder) == 10
+    w_lineage2 = np.asarray(jax.tree_util.tree_leaves(mt2.params)[0]).copy()
+    assert not np.array_equal(w_lineage1, w_lineage2)
+
+    # run C: --continue-training 0 epochs restores lineage 2, not 1
+    mt3 = LinearModel()
+    mt3.load(folder)
+    mt3.nr_epochs = 0
+    mt3.resume_from_checkpoint = True
+    mt3.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    w_after_c = np.asarray(jax.tree_util.tree_leaves(mt3.params)[0])
+    np.testing.assert_array_equal(w_after_c, w_lineage2)
+
+
+def test_continue_training_snapshot_numbering_is_cumulative(tmp_path, capsys):
+    """A --continue-training run that ADDS checkpointing to a folder with
+    prior epochs must number its snapshots from the folder's cumulative
+    epoch count, so the next run's stale guard accepts them."""
+    from conftest import tiny_pair_ds
+
+    from cae_tools_tpu.models.linear_model import LinearModel
+
+    train_ds = tiny_pair_ds(n=12, seed=45)
+    test_ds = tiny_pair_ds(n=12, seed=46)
+    folder = str(tmp_path / "linear")
+
+    # run A: 10 epochs, no checkpointing
+    mt = LinearModel(batch_size=6, nr_epochs=10, test_interval=5, lr=0.05)
+    mt.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+
+    # run B: continue + checkpointing -> snapshots numbered 15, 20
+    mt2 = LinearModel()
+    mt2.load(folder)
+    mt2.nr_epochs = 10
+    mt2.checkpoint_interval = 5
+    mt2.resume_from_checkpoint = True
+    mt2.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert latest_step(folder) == 20
+    assert mt2.history["nr_epochs"] == 20
+    w_after_b = np.asarray(jax.tree_util.tree_leaves(mt2.params)[0]).copy()
+
+    # run C: continue, 0 epochs -> the snapshot is accepted (not stale)
+    mt3 = LinearModel()
+    mt3.load(folder)
+    mt3.nr_epochs = 0
+    mt3.resume_from_checkpoint = True
+    capsys.readouterr()
+    mt3.train(["lowres"], "hires", train_ds, test_ds, model_path=folder)
+    assert "ignoring orbax snapshot" not in capsys.readouterr().out
+    w_after_c = np.asarray(jax.tree_util.tree_leaves(mt3.params)[0])
+    np.testing.assert_array_equal(w_after_c, w_after_b)

@@ -732,12 +732,18 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
     import sys
     import threading
 
+    import tempfile
+
     env = dict(os.environ)
     env["CAE_BENCH_ONLY"] = metric
+    # child stderr goes to a spool file: normally discarded, but when the
+    # metric lands MISSING its tail is surfaced — a genuine code error
+    # (ImportError, shape bug) must be distinguishable from a tunnel stall
+    err_spool = tempfile.TemporaryFile(mode="w+", errors="replace")
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)],
         env=env, text=True,
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        stdout=subprocess.PIPE, stderr=err_spool,
     )
     rates = {}
     done = threading.Event()
@@ -767,6 +773,20 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
     proc.kill()
     proc.wait()
     t.join(timeout=5)
+    if not _metric_done(metric, rates):
+        try:
+            err_spool.seek(0)
+            tail = [ln.rstrip() for ln in err_spool.read().splitlines()
+                    if ln.strip()][-12:]
+            if tail:
+                print(
+                    f"# bench: {metric} child rc={proc.returncode} "
+                    "stderr tail:\n  " + "\n  ".join(tail),
+                    file=sys.stderr, flush=True,
+                )
+        except Exception:
+            pass
+    err_spool.close()
     return rates
 
 

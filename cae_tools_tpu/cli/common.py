@@ -43,9 +43,13 @@ def mesh_from_flag(value):
         elif "x" in value:
             d, m = value.split("x", 1)
             n_data, n_model = int(d), int(m)
-            n = n_data * n_model
+            if n_data < 1 or n_model < 1:
+                raise ValueError(value)  # 8x0 etc: reject, don't silently
+            n = n_data * n_model        # fall through to single-device
         else:
             n = int(value)
+            if n < 1:
+                raise ValueError(value)
     except ValueError:
         raise SystemExit(
             f"--devices {value!r} not understood: use N, NxM (e.g. 4x2), "

@@ -524,6 +524,11 @@ class HyperOptimizer:
             def init_fn(r):
                 return mt.linear.init(r)
 
+        # init_fn for _init_params-style models mutates the live model, and
+        # vmap_trials traces it under jit — snapshot the concrete params
+        # from the 0-epoch warm-up so the all-trials-diverged path below
+        # can restore them instead of leaving escaped tracers on mt
+        params_before, state_before = mt.params, mt.state
         losses, params_stack, state_stack = vmap_trials(
             loss_fn,
             init_fn,
@@ -572,6 +577,12 @@ class HyperOptimizer:
             mt.lr = best_params["learning_rate"]
             mt.weight_decay = best_params["weight_decay"]
             mt.save(f"{self.work_folder}/vmap_best")
+        else:
+            # every trial diverged: restore the pre-sweep concrete pytrees
+            # (init_fn may have left jit tracers on the model) and report
+            # no winner (None, not inf — json-safe for the CLI line)
+            mt.params, mt.state = params_before, state_before
+            best_value = None
         return best_params, best_value, results
 
     def _run_optuna(self, optuna, n_trials, storage):
@@ -630,4 +641,6 @@ class HyperOptimizer:
             if value < best_value:
                 best_params, best_value = dict(trial.params), value
         study.close()
+        if best_params is None:
+            best_value = None  # every trial pruned; json-safe (not inf)
         return best_params, best_value, results

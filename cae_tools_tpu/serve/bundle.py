@@ -94,6 +94,11 @@ class ServingModel:
                 f"expected (N, {h}, {w}, {c}) input, got {x.shape}"
             )
         n = x.shape[0]
+        if n == 0:
+            return np.zeros(
+                (0,) + tuple(self.manifest["output_shape_nchw"][1:]),
+                np.float32,
+            )
         n_pad = -(-n // b) * b
         if n_pad != n:
             x = np.concatenate(

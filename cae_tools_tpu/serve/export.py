@@ -205,11 +205,29 @@ def export_model(mt, out_folder, batch_size=None, platforms=None,
     disabled = [
         jexport.DisabledSafetyCheck.custom_call(t) for t in _TPU_CUSTOM_CALLS
     ]
-    exported = jexport.export(
-        jitted,
-        platforms=list(platforms) if platforms else None,
-        disabled_checks=disabled,
-    )(*args)
+    # cross-platform export: the fused Pallas tail lowers to a TPU-only
+    # custom call chosen at trace time by the CURRENT backend — exporting
+    # for a different (or more than one) platform must trace the portable
+    # XLA forward instead, or the bundle can't execute on its target
+    cross_platform = bool(platforms) and (
+        len(set(platforms)) > 1
+        or list(platforms)[0] != jax.default_backend()
+    )
+    env_override = {"CAE_TPU_FUSED_DECODER": "0"} if cross_platform else {}
+    saved_env = {k: os.environ.get(k) for k in env_override}
+    os.environ.update(env_override)
+    try:
+        exported = jexport.export(
+            jitted,
+            platforms=list(platforms) if platforms else None,
+            disabled_checks=disabled,
+        )(*args)
+    finally:
+        for k, v in saved_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     blob = exported.serialize()
 
     os.makedirs(out_folder, exist_ok=True)

@@ -436,6 +436,42 @@ def test_hpo_vmap_mode_cli(small_data, tmp_path):
     assert "learning_rate" in out["best_params"]
 
 
+def test_hpo_vmap_all_trials_diverged(small_data, tmp_path):
+    """When every vmapped trial returns a non-finite loss the sweep must
+    report no winner (best_value None, json-safe) with every trial marked
+    pruned, restore the model's concrete pre-sweep params (regression:
+    init_fn left escaped jit tracers on the model), and persist no
+    vmap_best folder."""
+    from cae_tools_tpu.parallel.mesh import get_mesh
+
+    space = {
+        # absurd lr range: linear trials diverge to non-finite in epochs
+        "method": ("fixed", "linear"),
+        "nr_epochs": ("fixed", 6),
+        "batch_size": ("fixed", 5),
+        "learning_rate": ("loguniform", 1e30, 1e32),
+        "weight_decay": ("fixed", 1e-5),
+    }
+    opt = HyperOptimizer(
+        train_inputs=[small_data["train"]],
+        test_inputs=[small_data["test"]],
+        input_variables=["lowres"],
+        output_variable="hires",
+        work_folder=str(tmp_path / "trials"),
+        search_space=space,
+        mode="vmap",
+        seed=3,
+        mesh=get_mesh(n_data=8, n_model=1),
+    )
+    best_params, best_value, results = opt.run(n_trials=3)
+    assert best_params is None and best_value is None
+    assert len(results) == 3
+    assert all(r.get("pruned") for r in results)
+    assert not os.path.isdir(str(tmp_path / "trials" / "vmap_best"))
+    # the CLI prints this via json.dumps; None must serialize cleanly
+    json.dumps({"best_value": best_value, "best_params": best_params})
+
+
 def test_hpo_per_trial_file_subsampling(tmp_path):
     """Reference hypar_optim.py:40-41: each trial draws its own random
     file subset; different trials see different data.  (Subsampling is

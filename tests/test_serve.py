@@ -151,6 +151,44 @@ def test_export_dp_batch_divisibility(convae_folder, tmp_path):
         )
 
 
+def test_predict_empty_batch(convae_folder, tmp_path):
+    """0-case input returns a (0, C, Y, X) array, not a concatenate crash."""
+    bundle_folder = str(tmp_path / "bundle")
+    export_bundle(convae_folder, bundle_folder, batch_size=2)
+    sm = load_bundle(bundle_folder)
+    out = sm.predict(np.zeros((0, 4, 4, 1), np.float32))
+    assert out.shape == (0, 1, 16, 16)
+
+
+def test_export_multi_platform_forces_portable_forward(convae_folder,
+                                                       tmp_path):
+    """platforms=[cpu, tpu]: the fused Pallas tail is a TPU-only custom
+    call chosen by the CURRENT backend at trace time; a multi- (or cross-)
+    platform export must trace the portable XLA forward instead."""
+    import os as _os
+
+    from jax import export as jexport
+
+    bundle_folder = str(tmp_path / "bundle_xplat")
+    # force the fused gate ON so the export override (not the cpu backend)
+    # is what keeps the Pallas call out of the graph
+    _os.environ["CAE_TPU_FUSED_DECODER"] = "1"
+    try:
+        man = export_bundle(
+            convae_folder, bundle_folder, batch_size=2,
+            platforms=["cpu", "tpu"],
+        )
+    finally:
+        del _os.environ["CAE_TPU_FUSED_DECODER"]
+    assert sorted(man["platforms"]) == ["cpu", "tpu"]
+    with open(os.path.join(bundle_folder, "apply.jaxexport"), "rb") as f:
+        exp = jexport.deserialize(bytearray(f.read()))
+    assert "tpu_custom_call" not in exp.mlir_module()
+    # and the bundle still serves on this (cpu) host
+    out = load_bundle(bundle_folder).predict(_raw_nhwc(_tiny_ds(n=3, seed=8)))
+    assert out.shape == (3, 1, 16, 16) and np.isfinite(out).all()
+
+
 def test_export_bf16_apply_dtype(convae_folder, tmp_path):
     """apply_dtype=bfloat16 export: weights stored at rest in bf16 (npz
     bit-cast to uint16 + manifest leaf_dtypes record), predictions within

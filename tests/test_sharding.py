@@ -186,6 +186,10 @@ def test_cli_devices_flag_rejects_oversubscription(tmp_path):
     assert mesh_from_flag(None) is None
     assert mesh_from_flag("1") is None
     assert mesh_from_flag("all").shape == {"data": 8, "model": 1}
+    # malformed axes are rejected, not silently run single-device
+    for bad in ("8x0", "0x8", "0", "-2", "2x-1"):
+        with pytest.raises(SystemExit):
+            mesh_from_flag(bad)
 
 
 def test_streaming_trainer_global_batch_path():

@@ -210,6 +210,25 @@ class BaseModel:
             )
             shutil.rmtree(os.path.join(model_path, "orbax"))
 
+    def _fused_tail_base_ok(self):
+        """Shared gates for the fused Pallas train tails (every family):
+        ``CAE_TPU_FUSED_TRAIN_TAIL=1|0`` override, TPU backend default,
+        no tensor-parallel "model" axis (the kernel would compute
+        redundantly per model-axis device; DP shards ride shard_map), and
+        no additional loss term (the fused SSE/stats forms compute the
+        base loss only — UNET-family ``--additional-loss`` must keep the
+        XLA loss)."""
+        choice = os.environ.get("CAE_TPU_FUSED_TRAIN_TAIL")
+        if choice is not None and choice != "1":
+            return False
+        if choice is None and jax.default_backend() != "tpu":
+            return False
+        if self.mesh is not None and int(self.mesh.shape.get("model", 1)) > 1:
+            return False
+        if getattr(self, "additional_loss", None):
+            return False
+        return True
+
     def _make_trainer(self, loss_fn, config, train_data):
         """Device-resident trainer by default; streaming for huge datasets
         or when ``model.streaming = True``."""

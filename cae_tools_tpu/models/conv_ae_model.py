@@ -249,21 +249,15 @@ class ConvAEModel(BaseModel):
 
     def _use_fused_train_tail(self):
         """Fused ConvT+sigmoid+SSE Pallas pair on the training loss (TPU
-        default).  ``CAE_TPU_FUSED_TRAIN_TAIL=1|0`` overrides; the final
-        decoder stage must satisfy ``train_tail.last_stage_eligible``.
-        Under a data-parallel mesh the kernel runs per batch shard via
-        ``shard_map`` (``train_tail._shard_map_batch``); meshes with a
-        tensor-parallel "model" axis >1 keep the XLA loss (the kernel
-        would compute redundantly on every model-axis device).  f32 kernel
-        math, so gradients are HIGHEST-grade regardless of the conv
-        precision knob.
+        default).  Shared env/backend/mesh gates live in
+        ``BaseModel._fused_tail_base_ok``; the final decoder stage must
+        additionally satisfy ``train_tail.last_stage_eligible``.  Under a
+        data-parallel mesh the kernel runs per batch shard via
+        ``shard_map`` (``train_tail._shard_map_batch``).  f32 kernel math,
+        so gradients are HIGHEST-grade regardless of the conv precision
+        knob.
         """
-        choice = os.environ.get("CAE_TPU_FUSED_TRAIN_TAIL")
-        if choice is not None and choice != "1":
-            return False
-        if choice is None and jax.default_backend() != "tpu":
-            return False
-        if self.mesh is not None and int(self.mesh.shape.get("model", 1)) > 1:
+        if not self._fused_tail_base_ok():
             return False
         from ..ops.pallas.train_tail import last_stage_eligible
 

@@ -300,18 +300,7 @@ class UNET(BaseModel):
             and last_stage_eligible(self.decoder.layers[-1])
         )
 
-    def _fused_tail_base_ok(self):
-        """Shared environment/mesh/loss-shape gates for the fused tails."""
-        choice = os.environ.get("CAE_TPU_FUSED_TRAIN_TAIL")
-        if choice is not None and choice != "1":
-            return False
-        if choice is None and jax.default_backend() != "tpu":
-            return False
-        if self.mesh is not None and int(self.mesh.shape.get("model", 1)) > 1:
-            return False
-        if getattr(self, "additional_loss", None):
-            return False
-        return True
+    # shared env/backend/mesh/additional-loss gates: BaseModel._fused_tail_base_ok
 
     def _make_fused_loss_fn(self):
         from ..ops.pallas.train_tail import last_stage_masked_stats

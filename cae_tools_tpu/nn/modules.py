@@ -817,33 +817,48 @@ class UNetDecoder:
                 state["bns"].append(bs)
         return params, state
 
-    def apply_head(self, params, state, z, skips, train=False, rng=None):
-        """FC pyramid + every decoder stage *except the final ConvT*.
+    def apply_head(self, params, state, z, skips, train=False, rng=None,
+                   n_stages=None):
+        """FC pyramid + decoder stages ``[0, n_stages)`` (default: every
+        stage *except the final ConvT*).
 
-        Returns ``(h, new_state)`` where ``h`` feeds the final ConvT — split
+        Returns ``(h, new_state)`` where ``h`` feeds the next stage — split
         out so the fused last-stage training kernels
         (``ops/pallas/train_tail``) can own the final stage + loss while the
-        BN/dropout-carrying interior stages keep train-mode behavior.  The
-        final stage consumes no rng (no dropout after the last ConvT), so
-        the split preserves the rng fold ordering exactly.
+        BN/dropout-carrying interior stages keep train-mode behavior, and
+        so the fused *apply* tail (``ops/pallas/decoder_kernel``) can run
+        just the pre-kernel stages via ``n_stages`` instead of duplicating
+        this loop.  The final stage consumes no rng (no dropout after the
+        last ConvT), so the split preserves the rng fold ordering exactly;
+        at eval no rng is consumed at all (dropout is inert), so the eval
+        trace stays split-free.
         """
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
+        if train:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+
+            def drop(r, v):
+                r, sub = jax.random.split(r)
+                return r, dropout(sub, v, self.dropout_rate, True)
+
+        else:
+            def drop(r, v):
+                return r, v
+
         c, y, x = self.unflat_dims
         new_state = {"bns": []}
         h = dense(z, params["fc1"]["w"], params["fc1"]["b"])
         h, ns = bn_apply(params["fc_bn"], state["fc_bn"], h, train, axes=(0,))
         new_state["fc_bn"] = ns
         h = jax.nn.relu(h)
-        rng, sub = jax.random.split(rng)
-        h = dropout(sub, h, self.dropout_rate, train)
+        rng, h = drop(rng, h)
         h = jax.nn.relu(dense(h, params["fc2"]["w"], params["fc2"]["b"]))
-        rng, sub = jax.random.split(rng)
-        h = dropout(sub, h, self.dropout_rate, train)
+        rng, h = drop(rng, h)
         h = h.reshape(h.shape[0], y, x, c)
 
+        stages = self.layers[:-1] if n_stages is None else self.layers[:n_stages]
         skips_rev = list(skips)[::-1]  # decoder consumes them reversed
-        for i, spec in enumerate(self.layers[:-1]):
+        for i, spec in enumerate(stages):
             cp = params["convs"][i]
             pad = spec.output_padding_hw
             # reference passes spec.output_padding as ConvT *padding*
@@ -872,8 +887,7 @@ class UNetDecoder:
             )
             new_state["bns"].append(ns)
             h = jax.nn.relu(h)
-            rng, sub = jax.random.split(rng)
-            h = dropout(sub, h, self.dropout_rate, train)
+            rng, h = drop(rng, h)
         return h, new_state
 
     def apply(self, params, state, z, skips, train=False, rng=None):

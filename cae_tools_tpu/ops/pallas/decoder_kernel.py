@@ -473,45 +473,10 @@ def unet_decoder_apply_fused_tail(
         start = unet_tail_start_index(decoder)
     assert start is not None, "unsupported UNET decoder geometry for fused tail"
 
-    from ...nn.modules import bn_apply, channel_attention_apply
-    from ...ops.convops import conv2d, conv_transpose2d, dense
-
-    c, y, x = decoder.unflat_dims
-    h = dense(z, params["fc1"]["w"], params["fc1"]["b"])
-    h, _ = bn_apply(params["fc_bn"], state["fc_bn"], h, False, axes=(0,))
-    h = jax.nn.relu(h)
-    h = jax.nn.relu(dense(h, params["fc2"]["w"], params["fc2"]["b"]))
-    h = h.reshape(h.shape[0], y, x, c)
-
-    n_layers = len(decoder.layers)
-    skips_rev = list(skips)[::-1]
-    for i in range(start):
-        spec = decoder.layers[i]
-        cp = params["convs"][i]
-        pad = spec.output_padding_hw
-        h = conv_transpose2d(
-            h, cp["w"], stride=spec.get_stride(), padding=pad
-        ) + cp["b"]
-        if i != n_layers - 1:
-            if decoder.compat_concat:
-                if params["attn"][i] is not None:
-                    gate = channel_attention_apply(params["attn"][i], h)
-                    h = h * gate
-                    h = jnp.concatenate([h, skips_rev[i]], axis=-1)
-            elif params["attn"][i] is not None:
-                si, _ = decoder._stage_skip(i)
-                skip = skips[si]
-                gate = channel_attention_apply(params["attn"][i], h)
-                h = h * gate
-                sp = params["skip_proj"][i]
-                skip = conv2d(skip, sp["w"]) + sp["b"]
-                h = jnp.concatenate([h, skip], axis=-1)
-                fp = params["fuse"][i]
-                h = conv2d(h, fp["w"]) + fp["b"]
-            h, _ = bn_apply(
-                params["bns"][i], state["bns"][i], h, False, axes=(0, 1, 2)
-            )
-            h = jax.nn.relu(h)
+    # pre-kernel stages: the decoder's own eval head, limited to [0, start)
+    # (single implementation — this used to be a hand-maintained copy)
+    h, _ = decoder.apply_head(params, state, z, skips, train=False,
+                              n_stages=start)
 
     final_act = "sigmoid" if decoder.final_sigmoid else "linear"
     geoms, acts, w_flat, b_flat = fold_tail_params(

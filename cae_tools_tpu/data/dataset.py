@@ -111,11 +111,10 @@ class ArrayDataset:
         0.5x here vs 52x for the pack) — so the scan stays numpy and the
         NHWC pack goes native.
         """
-        return (
-            float(np.nanmin(arr)) if not np.all(np.isnan(arr)) else float("nan"),
-            float(np.nanmax(arr)) if not np.all(np.isnan(arr)) else float("nan"),
-            int(np.isnan(arr).sum()),
-        )
+        nan_count = int(np.isnan(arr).sum())  # one boolean temporary
+        if nan_count == arr.size:
+            return float("nan"), float("nan"), nan_count
+        return float(np.nanmin(arr)), float(np.nanmax(arr)), nan_count
 
     # ---- normalisation parameters (checkpoint format surface) -----------
     def set_normalise_output(self, normalise_out):

@@ -95,7 +95,21 @@ class DataArray:
         out = self._data[key]
         if not isinstance(key, tuple):
             key = (key,)
-        # dims survive slices, disappear under integer indexing
+        # dims survive slices/1-D fancy indexing, disappear under integer
+        # indexing; keys this bookkeeping cannot label (np.newaxis inserts
+        # a dim, multi-dim boolean masks consume several) fail loudly
+        # instead of returning silently mislabeled dims
+        for k in key:
+            if k is None:
+                raise TypeError(
+                    "xrlite DataArray does not support np.newaxis "
+                    "indexing; index .values instead"
+                )
+            if isinstance(k, np.ndarray) and k.dtype == bool and k.ndim > 1:
+                raise TypeError(
+                    "xrlite DataArray does not support multi-dimensional "
+                    "boolean masks; index .values instead"
+                )
         kept = []
         dim_i = 0
         for k in key:

@@ -27,21 +27,25 @@ from ..utils.model_database import ModelDatabase
 from ..xrcompat import xr
 
 
-def _concat_paths(paths, case_dimension=None):
+def _concat_paths(paths, case_variable=None, case_dimension=None):
+    """Open ``paths`` and concatenate along the case dimension.
+
+    The dim is ``case_dimension`` if given, else the leading dim of
+    ``case_variable`` (the evaluator's output variable) — never guessed
+    from "the first variable in the file", whose leading dim can be a
+    coordinate axis (lat/lon) or nothing at all (0-d scalars)."""
     datasets = [xr.open_dataset(p) for p in paths]
     if not datasets:
         return None
     if len(datasets) == 1:
         return datasets[0]
     dim = case_dimension
+    if dim is None and case_variable and case_variable in datasets[0]:
+        dim = datasets[0][case_variable].dims[0]
     if dim is None:
         first = next(iter(datasets[0].variables.values()))
         dim = first.dims[0]
-    if hasattr(xr, "concat"):
-        return xr.concat(datasets, dim=dim)
-    from ..data import xrlite
-
-    return xrlite.concat(datasets, dim)
+    return xr.concat(datasets, dim=dim)
 
 
 class ModelEvaluator:
@@ -107,8 +111,8 @@ class ModelEvaluator:
 
     # ------------------------------------------------------------------
     def evaluate_model_metrics(self):
-        train_ds = _concat_paths(self.training_paths)
-        test_ds = _concat_paths(self.testing_paths)
+        train_ds = _concat_paths(self.training_paths, self.output_variable)
+        test_ds = _concat_paths(self.testing_paths, self.output_variable)
 
         some_ds = train_ds if train_ds is not None else test_ds
         case_dimension = some_ds[self.output_variable].dims[0]
@@ -357,8 +361,14 @@ class ModelEvaluator:
                 panel(row, label, arr3d[c], lo, hi, cmap)
 
         for idx in range(count):
-            mae = self.compute_measure(ds, idx, "mae")
-            mse = self.compute_measure(ds, idx, "mse")
+            # build_html stores the per-case series on the dataset before
+            # building the browser; reuse instead of re-reducing (C,Y,X)
+            if "mae" in ds and "mse" in ds:
+                mae = float(ds["mae"].values[idx])
+                mse = float(ds["mse"].values[idx])
+            else:
+                mae = self.compute_measure(ds, idx, "mae")
+                mse = self.compute_measure(ds, idx, "mse")
             builder.body().add_element("h3").add_text(
                 f"case {idx} (mae={mae:0.4f}, mse={mse:0.4f})"
             )

@@ -160,6 +160,8 @@ def _bn_to_sd(sd, prefix, bp, bs):
 
 
 def _bn_from_sd(sd, prefix):
+    import jax  # local: keep module import light (numpy/torch-only paths)
+
     bp = {
         "scale": sd[prefix + ".weight"].astype(np.float32),
         "bias": sd[prefix + ".bias"].astype(np.float32),
@@ -167,9 +169,14 @@ def _bn_from_sd(sd, prefix):
     bs = {
         "mean": sd[prefix + ".running_mean"].astype(np.float32),
         "var": sd[prefix + ".running_var"].astype(np.float32),
+        # match bn_init's count dtype (int64 under jax_enable_x64) so
+        # loaded and freshly-initialized BN state pytrees are
+        # interchangeable (orbax templates, jit cache keys)
         "count": sd.get(
             prefix + ".num_batches_tracked", np.zeros((), np.int64)
-        ).astype(np.int32),
+        ).astype(
+            np.int64 if jax.config.jax_enable_x64 else np.int32
+        ),
     }
     return bp, bs
 

@@ -7,8 +7,13 @@ function, and multi-epoch spans between test evaluations run as a second
 ``lax.scan`` level — one XLA dispatch per ``test_interval`` epochs instead of
 per batch.  Shuffling is a per-epoch ``jax.random.permutation`` traced into
 the graph; the trailing partial batch is padded with zero-weight samples so
-all shapes are static while loss/grad semantics match torch's smaller final
-batch exactly.
+all shapes are static while *loss and loss-gradient* semantics match torch's
+smaller final batch exactly.  Known deviation: BatchNorm *batch statistics*
+in that trailing batch still see the pad rows (duplicates of real samples),
+where torch normalizes over the smaller real batch — weight-masked BN would
+need mask plumbing through every module.  Exact parity when
+``n % batch_size == 0`` (the tested contract); otherwise the effect is a
+slightly duplicate-biased BN mean/var on one batch per epoch.
 
 Optimizers replicate the reference's exactly:
  * ``adam_l2`` — torch ``Adam(weight_decay=wd)``: L2 term added to the
@@ -369,6 +374,19 @@ class Trainer:
                     opt_state = jax.device_put(opt_state, repl)
                 state = jax.device_put(state, repl)
 
+        if cfg.schedule == "plateau":
+            # sync the host-side LR tracker with the live injected
+            # hyperparams: a restored opt_state carries the last decayed
+            # rate, and a second fit() re-inits at cfg.lr — either way a
+            # stale tracker would make the next plateau trip set a wrong
+            # (possibly higher) LR
+            try:
+                self._current_lr = float(
+                    np.asarray(opt_state.hyperparams["learning_rate"])
+                )
+            except Exception:
+                self._current_lr = cfg.lr
+
         # ---- host loop: record/print at the reference cadence -----------
         from ..utils.profiling import trace as profile_trace
 
@@ -383,7 +401,14 @@ class Trainer:
         profile_ctx.__enter__()
         try:
             while epoch < nr_epochs:
-                # run up to the next test checkpoint (e % interval == 0)
+                # run up to the next test checkpoint (e % interval == 0).
+                # The 1-then-(interval-1) split is deliberate: the test
+                # epoch's OWN train loss must be reported (reference
+                # cadence), so the scan must end exactly there.  Cost: two
+                # dispatches per interval and (for nr % interval != 0) a
+                # third static n_epochs executable; an aligned-chunk
+                # scheme would save one dispatch per interval but report
+                # the wrong epoch's train loss.
                 chunk = 1 if epoch % cfg.test_interval == 0 else min(
                     cfg.test_interval - (epoch % cfg.test_interval),
                     nr_epochs - epoch,

@@ -121,6 +121,15 @@ class StreamingTrainer(Trainer):
                 params, state, opt_state = jax.device_put(
                     (params, state, opt_state), repl
                 )
+        if self.config.schedule == "plateau":
+            # keep the host LR tracker in sync with the live injected
+            # hyperparams across resume / refit (see Trainer.fit twin)
+            try:
+                self._current_lr = float(
+                    np.asarray(opt_state.hyperparams["learning_rate"])
+                )
+            except Exception:
+                self._current_lr = self.config.lr
         last_ckpt_epoch = 0
         epochs_done = 0
 

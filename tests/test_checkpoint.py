@@ -115,6 +115,52 @@ def test_trainer_periodic_checkpoint_and_exact_resume(tmp_path):
     assert float(np.abs(np.asarray(p2["w"])).max()) > 0
 
 
+def test_plateau_lr_survives_resume(tmp_path):
+    """Resuming a plateau-schedule run must carry the snapshot's decayed
+    learning rate into the host-side tracker — a stale tracker (cfg.lr)
+    would make the next plateau trip JUMP the live LR back up instead of
+    decaying it."""
+    from cae_tools_tpu.train.loop import TrainConfig, Trainer
+
+    folder = str(tmp_path / "model")
+    data = _tiny_data()
+    params = {
+        "w": jnp.zeros((4, 4), jnp.float32),
+        "b": jnp.zeros((4,), jnp.float32),
+    }
+    # patience 0 + threshold 1.0: "improved" is impossible, so the LR
+    # decays by plateau_factor at every test interval
+    cfg1 = TrainConfig(
+        batch_size=8, nr_epochs=2, test_interval=1, lr=1e-3,
+        schedule="plateau", plateau_patience=0, plateau_threshold=1.0,
+        plateau_factor=0.1,
+    )
+    t1 = Trainer(_tiny_loss_fn(), cfg1)
+    t1.checkpoint_folder = folder
+    t1.checkpoint_interval = 1
+    t1.fit(params, {}, data, data, {"train_loss": [], "test_loss": []})
+    assert t1._current_lr == pytest.approx(1e-5)  # two decays
+    snap = restore_checkpoint(folder)
+    # template-less restore flattens the InjectHyperparamsState namedtuple
+    # to dicts (the product resume path restores WITH a template)
+    snap_lr = float(
+        np.asarray(snap["opt_state"]["hyperparams"]["learning_rate"])
+    )
+    assert snap_lr == pytest.approx(1e-5)
+
+    # resume with a patient config: no further decay; the tracker must
+    # equal the snapshot's LR, not cfg.lr
+    cfg2 = TrainConfig(
+        batch_size=8, nr_epochs=1, test_interval=1, lr=1e-3,
+        schedule="plateau", plateau_patience=100,
+    )
+    t2 = Trainer(_tiny_loss_fn(), cfg2)
+    t2.checkpoint_folder = folder
+    t2.resume = True
+    t2.fit(params, {}, data, data, {"train_loss": [], "test_loss": []})
+    assert t2._current_lr == pytest.approx(snap_lr)
+
+
 def test_model_level_checkpoint_resume(tmp_path, circle_data):
     """LinearModel + checkpoint_interval: orbax snapshots land under the
     model folder and --continue-training-style resume restores them."""

@@ -669,15 +669,19 @@ def measure_one(metric: str) -> dict:
         )
         ips = _TRAIN_BATCH / time_jax_train_scan(run, carry, data, k)
         return {metric: ips}
-    if metric in ("train_unet", "train_unet_fused",
+    if metric in ("train_unet", "train_unet_fused", "train_unet_fused_bf16",
                   "train_unetres", "train_unetres_fused"):
         # own process (scan timing amortizes any dispatch tax to <2%, and a
-        # stalled UNET compile must not take the ConvAE number down with it)
-        convops.set_precision("high")
+        # stalled UNET compile must not take the ConvAE number down with it).
+        # fused_bf16 = the fast production recipe (--precision default +
+        # fused tail): bf16 interior convs, f32 fused final stage + loss.
+        convops.set_precision(
+            "default" if metric.endswith("_bf16") else "high"
+        )
         k = _TRAIN_SCAN_STEPS
         urun, ucarry, udata = build_jax_unet_train(
             _UNET_BATCH, k,
-            fused_tail=metric.endswith("_fused"),
+            fused_tail="_fused" in metric,
             residual="unetres" in metric,
         )
         unet_ips = _UNET_BATCH / time_jax_train_scan(urun, ucarry, udata, k)
@@ -797,6 +801,7 @@ _TRAIN_METRICS = (
     "train_convae",        # XLA-HIGH train loss (the fused path's baseline)
     "train_convae_fused_bf16",  # fused tail + 1-pass bf16 interior convs
     "train_unet_fused",  # UNET product-default train loss (fused last stage)
+    "train_unet_fused_bf16",  # fused tail + 1-pass bf16 interior convs
     "train_unet",        # UNET XLA train loss (the fused path's baseline)
     "train_unetres_fused",  # UNETRes residual head fused in-kernel
     "train_unetres",        # UNETRes XLA twin
@@ -818,7 +823,7 @@ _METRICS = (
 )
 _ALL_KEYS = ("apply_fused", "train_convae_fused", "train_convae",
              "train_convae_fused_bf16",
-             "train_unet_fused", "train_unet",
+             "train_unet_fused", "train_unet_fused_bf16", "train_unet",
              "train_unetres_fused", "train_unetres", "train_varae",
              "train_convae_bf16", "apply_unet_fused", "apply_unet",
              "apply_xla_high", "apply_bf16", "apply_bf16_weights")
@@ -863,6 +868,7 @@ def _build_result(rates, torch_stats, elapsed_s):
         "train_convae_bf16": "train_convae_bf16_images_per_sec",
         "train_unet": "train_unet_images_per_sec",
         "train_unet_fused": "train_unet_fused_images_per_sec",
+        "train_unet_fused_bf16": "train_unet_fused_bf16_images_per_sec",
         "train_unetres": "train_unetres_images_per_sec",
         "train_unetres_fused": "train_unetres_fused_images_per_sec",
         "train_varae": "train_varae_images_per_sec",

@@ -706,3 +706,58 @@ def test_unetres_fused_gating_wide_input():
         assert not mt._use_fused_train_tail()  # 13 channels > _MAX_RES_CIN
     finally:
         del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+
+def test_unet_fused_loss_bf16_interior_composes():
+    """``--precision default`` (1-pass bf16 interior convs) composes with
+    the fused train tail: the final-stage ConvT + masked-stats math stays
+    f32/analytic while the interior convs run the fast path, so the fused
+    loss stays within bf16 tolerance of the f32 fused loss and the grads
+    stay finite under jit (the production recipe benched as
+    ``train_unet_fused_bf16`` / ``train_convae_fused_bf16``)."""
+    from cae_tools_tpu.models.unet_model import UNET
+
+    mt = UNET(encoded_dim_size=8, fc_size=16, dropout_rate=0.0)
+    mt.spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(64, 64), output_channels=1,
+    )
+    mt.input_shape = (1, 16, 16)
+    mt.output_shape = (1, 64, 64)
+    mt._build_modules()
+    mt._init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    batch = {
+        "x": jnp.asarray(rng.random((4, 16, 16, 1), dtype=np.float32)),
+        "y": jnp.asarray(rng.random((4, 64, 64, 1), dtype=np.float32)),
+        "m": jnp.ones((4, 64, 64, 1), jnp.float32),
+        "w": jnp.ones((4,), jnp.float32),
+    }
+    os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
+    try:
+        assert mt._use_fused_train_tail()
+        loss_fn = mt._make_loss_fn()
+    finally:
+        del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+    @jax.jit
+    def val_and_grad(params):
+        def scalar(p):
+            loss, _ = loss_fn(p, mt.state, jax.random.PRNGKey(3), batch, True)
+            return loss
+
+        return jax.value_and_grad(scalar)(params)
+
+    try:
+        convops.set_precision("default")  # 1-pass bf16 interior convs
+        v_bf16, g_bf16 = val_and_grad(mt.params)
+        convops.set_precision("highest")
+        v_f32, _ = val_and_grad(mt.params)
+    finally:
+        convops.set_precision("high")
+    assert np.isfinite(float(v_bf16))
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g_bf16))
+    # bf16 interior tolerance: same class as the documented 9e-5 abs conv
+    # error, amplified through the masked Pearson term
+    np.testing.assert_allclose(float(v_bf16), float(v_f32), rtol=5e-2)

@@ -815,11 +815,11 @@ _TRAIN_METRICS = (
 _METRICS = (
     "apply_fused",
     "train_suite",
-    "apply_xla_high",
     "apply_unet_fused",  # UNET product-default apply (fused Pallas tail)
     "apply_unet",        # UNET pure-XLA apply (the fused tail's baseline)
-    "apply_bf16",
-    "apply_bf16_weights",
+    "apply_xla_high",    # ConvAE XLA comparison baseline (demoted below the
+    "apply_bf16",        # product paths: on a stalled-tunnel day the fused
+    "apply_bf16_weights",  # headlines must land before the baselines burn slices)
 )
 _ALL_KEYS = ("apply_fused", "train_convae_fused", "train_convae",
              "train_convae_fused_bf16",

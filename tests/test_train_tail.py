@@ -740,24 +740,35 @@ def test_unet_fused_loss_bf16_interior_composes():
     finally:
         del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
 
-    @jax.jit
-    def val_and_grad(params):
-        def scalar(p):
-            loss, _ = loss_fn(p, mt.state, jax.random.PRNGKey(3), batch, True)
-            return loss
+    def make_val_and_grad():
+        # a FRESH jitted function per precision: jit caches on avals, not
+        # on the convops._PRECISION module global, so reusing one wrapper
+        # across set_precision calls silently re-runs the first trace
+        @jax.jit
+        def val_and_grad(params):
+            def scalar(p):
+                loss, _ = loss_fn(
+                    p, mt.state, jax.random.PRNGKey(3), batch, True
+                )
+                return loss
 
-        return jax.value_and_grad(scalar)(params)
+            return jax.value_and_grad(scalar)(params)
+
+        return val_and_grad
 
     try:
         convops.set_precision("default")  # 1-pass bf16 interior convs
-        v_bf16, g_bf16 = val_and_grad(mt.params)
+        v_bf16, g_bf16 = make_val_and_grad()(mt.params)
         convops.set_precision("highest")
-        v_f32, _ = val_and_grad(mt.params)
+        v_f32, _ = make_val_and_grad()(mt.params)
     finally:
         convops.set_precision("high")
     assert np.isfinite(float(v_bf16))
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g_bf16))
-    # bf16 interior tolerance: same class as the documented 9e-5 abs conv
-    # error, amplified through the masked Pearson term
+    # Each precision traced separately (distinct executables).  On CPU,
+    # lax.Precision is largely a no-op for f32 math, so this asserts the
+    # two traces compose and agree structurally; the real bf16-vs-f32
+    # numeric tolerance is exercised on TPU (BASELINE.md, bench
+    # train_*_fused_bf16 vs train_*_fused).
     np.testing.assert_allclose(float(v_bf16), float(v_f32), rtol=5e-2)

@@ -12,10 +12,14 @@ needs:
 - ``Dataset``: mapping of name -> DataArray plus global attrs and a ``dims``
   mapping; ``to_netcdf`` / ``open_dataset`` / ``open_mfdataset`` / ``concat``.
 
-Files are written in netCDF3-classic format via ``scipy.io.netcdf_file``,
-which both this library and standard netCDF tooling (ncdump, xarray) can read.
-When the real xarray package is importable, ``cae_tools_tpu.xrcompat``
-prefers it and this module is unused.
+Files are written in netCDF3 64-bit-offset format (``version=2``) via
+``scipy.io.netcdf_file`` — the classic data model without classic-format's
+2 GiB per-variable/file limits — which this library and standard netCDF
+tooling (ncdump, xarray) can read.  netCDF4/HDF5 *reading* is not
+implemented here: ``open_dataset`` detects the HDF5 signature and raises an
+actionable error pointing at the xarray+netcdf4 stack.  When the real
+xarray package is importable, ``cae_tools_tpu.xrcompat`` prefers it and
+this module is unused.
 """
 
 from __future__ import annotations
@@ -229,13 +233,40 @@ class Dataset:
         return out
 
     # -- IO ----------------------------------------------------------------
+    def _record_dim(self):
+        """The dimension to write as the netCDF record (UNLIMITED) dim.
+
+        netCDF3's per-variable ``vsize`` is a 32-bit field (and scipy packs
+        it signed), so a fixed variable may not exceed 2 GiB even in
+        64-bit-offset files — but a RECORD variable's vsize is per-record,
+        so data grows unbounded along the record dimension.  Production
+        case-stacked EO data is exactly that shape: pick the leading dim of
+        the largest variable (the case/box axis), provided every variable
+        using it has it in first position (a netCDF3 requirement)."""
+        best, best_bytes = None, -1
+        for da in self._vars.values():
+            if da.ndim > 0 and da.values.nbytes > best_bytes:
+                best, best_bytes = da.dims[0], da.values.nbytes
+        if best is None:
+            return None
+        for da in self._vars.values():
+            if best in da.dims[1:]:
+                return None  # record dim must be leading everywhere
+        return best
+
     def to_netcdf(self, path, engine=None):
         from scipy.io import netcdf_file
 
-        f = netcdf_file(path, "w")
+        # version=2 = netCDF3 64-bit-offset: file and variable offsets past
+        # 2 GiB work — required at production EOCIS dataset sizes (the
+        # reference's datasets are "netcdf4 file(s)",
+        # reference cli/train_cae.py:20-23; CDF-2 + a record dim is the
+        # closest envelope scipy can write).
+        rec_dim = self._record_dim()
+        f = netcdf_file(path, "w", version=2)
         try:
             for dim, size in self.dims.items():
-                f.createDimension(dim, size)
+                f.createDimension(dim, None if dim == rec_dim else size)
             for name, da in self._vars.items():
                 arr = da.values
                 if arr.dtype == np.float64:
@@ -263,9 +294,43 @@ class Dataset:
         return "\n".join(lines)
 
 
+#: file signatures: netCDF3 classic / 64-bit-offset vs netCDF4 (= HDF5)
+_NC3_MAGICS = (b"CDF\x01", b"CDF\x02")
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+def _check_signature(path):
+    """Fail with an actionable message on non-netCDF3 inputs.
+
+    scipy's raw ``TypeError: not a valid NetCDF 3 file`` tells the user
+    nothing about WHY their (perfectly valid) netCDF4 file is rejected or
+    what to install; production EOCIS data is netCDF4/HDF5
+    (reference ``cli/train_cae.py:20-23``)."""
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(8)
+    except OSError:
+        return  # let scipy raise its own (file-not-found etc.) error
+    if head[:4] in _NC3_MAGICS:
+        return
+    if head == _HDF5_MAGIC:
+        raise ValueError(
+            f"{path!s} is a netCDF4/HDF5 file. This build's bundled netCDF "
+            "backend (xrlite) reads netCDF3 only (classic + 64-bit "
+            "offset). Install xarray+netcdf4 — cae_tools_tpu.xrcompat "
+            "prefers them automatically — or convert the file first "
+            "(e.g. `nccopy -k classic in.nc out.nc`)."
+        )
+    raise ValueError(
+        f"{path!s} is not a netCDF file (bad magic {head[:4]!r}); "
+        "expected netCDF3 (CDF\\x01/CDF\\x02) or netCDF4/HDF5."
+    )
+
+
 def open_dataset(path, engine=None) -> Dataset:
     from scipy.io import netcdf_file
 
+    _check_signature(path)
     f = netcdf_file(path, "r", mmap=False)
     try:
         ds = Dataset()

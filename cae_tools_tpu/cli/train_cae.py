@@ -75,6 +75,14 @@ def build_parser():
     parser.add_argument("--crop-scale-min", type=float, default=0.6, help="minimum crop fraction for --augment crop")
     parser.add_argument("--precision", choices=["highest", "high", "default"], default="high",
                         help="conv/matmul precision: high (default) keeps <=1e-5 reference parity at 1.66x the speed of highest; default=1-pass bf16 fast path")
+    parser.add_argument("--host-memory-budget", type=str,
+                        default=os.environ.get("CAE_HOST_MEMORY_BUDGET"),
+                        help="host-RAM budget for training data (e.g. 8G). "
+                        "When the input netCDF3 files exceed it, batches are "
+                        "streamed from disk per epoch instead of "
+                        "materialized — removes the host-RAM cap on dataset "
+                        "size (additive; the reference materializes "
+                        "everything, ds_dataset.py:22-75)")
     add_devices_flag(parser)
     return parser
 
@@ -172,6 +180,75 @@ def build_model(args):
     raise SystemExit(f"method {args.method!r} is not implemented")
 
 
+def exceeds_memory_budget(budget_text, paths) -> bool:
+    """True when the input files' total size exceeds the host-RAM budget."""
+    if not budget_text:
+        return False
+    from ..data.diskstream import parse_size
+
+    budget = parse_size(budget_text)
+    total = sum(os.path.getsize(p) for p in paths)
+    return budget > 0 and total > budget
+
+
+def open_training_datasets(args, quiet=False):
+    """(train_ds, test_ds) honoring ``--host-memory-budget``.
+
+    Within budget (or no budget): in-RAM datasets via ``open_inputs`` with
+    the reference's 1-D auxiliary-variable broadcast.  Over budget:
+    :class:`~..data.diskstream.DiskStreamDataset` handles (the aux
+    broadcast happens at batch-assembly time), and batches stream from
+    disk per epoch — the out-of-core path shared by ``main()`` and the
+    in-process HPO driver (``hpo/optim.py``)."""
+    paths = list(args.train_inputs) + list(args.test_inputs)
+    if exceeds_memory_budget(args.host_memory_budget, paths):
+        from ..data.diskstream import DiskStreamDataset
+
+        if args.method == "resunet_gan":
+            raise SystemExit(
+                "--method resunet_gan has no streaming trainer; raise "
+                "--host-memory-budget or pick another method"
+            )
+        train_ds = DiskStreamDataset(args.train_inputs)
+        test_ds = DiskStreamDataset(args.test_inputs)
+        if not quiet:
+            total = sum(os.path.getsize(p) for p in paths)
+            print(
+                "Host-memory budget %s < %.1f MB of input files: "
+                "streaming batches from disk"
+                % (args.host_memory_budget, total / 2**20)
+            )
+            print(
+                "Training cases: %d, Test cases: %d"
+                % (
+                    sum(
+                        f.n_rows(args.output_variable)
+                        for f in train_ds.files
+                    ),
+                    sum(
+                        f.n_rows(args.output_variable)
+                        for f in test_ds.files
+                    ),
+                )
+            )
+        return train_ds, test_ds
+
+    train_ds = open_inputs(args.train_inputs)
+    test_ds = open_inputs(args.test_inputs)
+    case_dimension = train_ds[args.output_variable].dims[0]
+    if not quiet:
+        print(
+            "Training cases: %d, Test cases: %d"
+            % (
+                train_ds[args.output_variable].shape[0],
+                test_ds[args.output_variable].shape[0],
+            )
+        )
+    broadcast_scalar_vars(train_ds, args.input_variables, case_dimension)
+    broadcast_scalar_vars(test_ds, args.input_variables, case_dimension)
+    return train_ds, test_ds
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -181,22 +258,10 @@ def main(argv=None):
     enable_cli_compile_cache()
     convops.set_precision(args.precision)
 
-    train_ds = open_inputs(args.train_inputs)
-    test_ds = open_inputs(args.test_inputs)
-    case_dimension = train_ds[args.output_variable].dims[0]
-    print(
-        "Training cases: %d, Test cases: %d"
-        % (
-            train_ds[args.output_variable].shape[0],
-            test_ds[args.output_variable].shape[0],
-        )
-    )
+    train_ds, test_ds = open_training_datasets(args)
 
     training_paths = ";".join(args.train_inputs)
     test_paths = ";".join(args.test_inputs)
-
-    broadcast_scalar_vars(train_ds, args.input_variables, case_dimension)
-    broadcast_scalar_vars(test_ds, args.input_variables, case_dimension)
 
     if args.continue_training:
         with open(os.path.join(args.model_folder, "parameters.json")) as f:

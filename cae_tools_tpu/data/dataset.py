@@ -33,6 +33,18 @@ from .. import native
 
 
 class ArrayDataset:
+    def __new__(cls, ds, *args, **kwargs):
+        # disk-backed path: a DiskStreamDataset passed where a raw
+        # xarray-style dataset is expected configures itself and stands in
+        # (same normalisation/spec/arrays_nhwc surface, lazy batches) —
+        # this is what lets every model's train() run out-of-core without
+        # modification (data/diskstream.py)
+        from .diskstream import DiskStreamDataset
+
+        if isinstance(ds, DiskStreamDataset):
+            return ds.configure(*args, **kwargs)
+        return super().__new__(cls)
+
     def __init__(
         self,
         ds,

@@ -46,6 +46,12 @@ def main(argv=None):
         help="mesh layout for --mode vmap, e.g. '8' or '8x1' "
         "(data x model axes)",
     )
+    parser.add_argument(
+        "--host-memory-budget", type=str, default=None,
+        help="host-RAM budget per trial (e.g. 8G): trials whose sampled "
+        "files exceed it stream batches from disk instead of "
+        "materializing (train_cae --host-memory-budget)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-path", default=None)
     parser.add_argument(
@@ -96,6 +102,7 @@ def main(argv=None):
         log_path=args.log_path or f"{args.work_folder}/study.jsonl",
         seed_trials=seed_trials,
         sample_files=args.sample_files,
+        host_memory_budget=args.host_memory_budget,
         mesh=mesh,
     )
     best_params, best_value, results = opt.run(

@@ -112,6 +112,137 @@ class TrialPruned(Exception):
     pass
 
 
+#: TPE-style proposer knobs (reference study uses optuna's TPESampler,
+#: hypar_optim.py:107-113).  n_candidates=1 is a deliberate, MEASURED
+#: deviation from optuna's 24: with the ratio argmax over many candidates
+#: the proposer systematically picks anti-"bad" outliers and LOSES to
+#: uniform random on a separable 5-knob quadratic (mean best-of-40: 1.69
+#: vs 1.45 over 10 seeds); sampling the good-fraction Parzen estimator
+#: directly wins 8/10 seeds at 40 trials (0.77 vs 1.45) and 9/10 at 80
+#: (0.43 vs 0.92).  The ratio path stays for callers who raise
+#: n_candidates.
+_TPE_STARTUP = 8
+_TPE_GAMMA = 0.25
+_TPE_CANDIDATES = 1
+
+
+def _finite_history(history):
+    out = []
+    for rec in history:
+        v = rec.get("value")
+        if v is not None and math.isfinite(v):
+            out.append((rec["params"], float(v)))
+    return out
+
+
+def propose_params(search_space, history, rng: random.Random,
+                   n_candidates: int = _TPE_CANDIDATES):
+    """TPE-like proposal from completed trials (the no-optuna sampler).
+
+    Split finite-valued trials into the best ``gamma`` fraction ("good")
+    and the rest ("bad"); per knob, sample candidates from a Gaussian
+    kernel-density estimate of the good values and keep the candidate
+    maximising good-density / bad-density — the Parzen-estimator ratio the
+    reference's TPESampler optimises.  Numeric knobs use linear space
+    (``uniform``/``int``/``int_odd``) or log space (``loguniform``);
+    ``int_pow2`` is treated as a weighted categorical.  Returns a full
+    params dict (``fixed`` knobs included); falls back to None when there
+    is not enough history, in which case the caller samples randomly.
+    """
+    finite = _finite_history(history)
+    if len(finite) < _TPE_STARTUP:
+        return None
+    if rng.random() < 0.15:
+        return None  # keep exploring: a fraction of trials stays uniform
+    finite.sort(key=lambda pv: pv[1])
+    n_good = max(2, int(math.ceil(_TPE_GAMMA * len(finite))))
+    good = [p for p, _ in finite[:n_good]]
+    bad = [p for p, _ in finite[n_good:]] or good
+
+    def density(x, pts, sigma, mid, width):
+        # KDE over the points PLUS a wide prior component at the domain
+        # midpoint (optuna's consider_prior): keeps tails non-degenerate
+        # and stops early warmup luck from locking the search in
+        s = sum(math.exp(-0.5 * ((x - p) / sigma) ** 2) for p in pts)
+        s += math.exp(-0.5 * ((x - mid) / width) ** 2)
+        return s / (len(pts) + 1) + 1e-12
+
+    def propose_numeric(lo_s, hi_s, g_s, b_s):
+        width = max(hi_s - lo_s, 1e-12)
+        mid = 0.5 * (lo_s + hi_s)
+        # Silverman bandwidth over the GOOD sample's spread (not the domain
+        # width — that degenerates the KDE into a boundary-seeking mean
+        # comparison), clipped to a sane fraction of the domain
+        import statistics as _st
+
+        gstd = _st.pstdev(g_s) if len(g_s) > 1 else width
+        sigma = (gstd or width) * 1.06 * len(g_s) ** -0.2
+        # magic-clip-style floor: the KDE may never collapse below a
+        # fraction of the domain, or a lucky early mode freezes the study
+        sigma = min(max(sigma, width / (len(g_s) + 2.0)), 0.5 * width)
+
+        def reflect(x):
+            # reflect out-of-domain draws instead of clipping: clipping
+            # piles probability mass on the bounds, which the ratio argmax
+            # then self-reinforces (measured: dropout pinned at its bound)
+            for _ in range(4):
+                if x < lo_s:
+                    x = lo_s + (lo_s - x)
+                elif x > hi_s:
+                    x = hi_s - (x - hi_s)
+                else:
+                    return x
+            return min(max(x, lo_s), hi_s)
+
+        best_x, best_l = mid, -1.0
+        for _ in range(n_candidates):
+            # draw from the good model incl. its prior component
+            center = mid if rng.random() < 1.0 / (len(g_s) + 1) else rng.choice(g_s)
+            bw = width if center is mid else sigma
+            x = reflect(rng.gauss(center, bw))
+            l_ratio = density(x, g_s, sigma, mid, width) / density(
+                x, b_s, sigma, mid, width
+            )
+            if l_ratio > best_l:
+                best_x, best_l = x, l_ratio
+        return best_x
+
+    out = {}
+    for name, spec in search_space.items():
+        kind = spec[0]
+        if kind == "fixed":
+            out[name] = spec[1]
+            continue
+        g_vals = [p[name] for p in good if name in p]
+        b_vals = [p[name] for p in bad if name in p]
+        if len(g_vals) < 2:
+            return None  # not enough per-knob signal; sample randomly
+        if kind == "int_pow2":
+            # continuous in log2-exponent space, rounded to a power of 2
+            lo_e, hi_e = math.log2(spec[1]), math.log2(spec[2])
+            x = propose_numeric(
+                lo_e, hi_e,
+                [math.log2(v) for v in g_vals],
+                [math.log2(v) for v in b_vals],
+            )
+            out[name] = int(2 ** int(round(min(max(x, lo_e), hi_e))))
+            continue
+        log_space = kind == "loguniform"
+        to_s = math.log if log_space else (lambda v: float(v))
+        x = propose_numeric(
+            to_s(spec[1]), to_s(spec[2]),
+            [to_s(v) for v in g_vals], [to_s(v) for v in b_vals],
+        )
+        val = math.exp(x) if log_space else x
+        if kind in ("int", "int_odd"):
+            v = int(round(val))
+            if kind == "int_odd" and v % 2 == 0:
+                v += 1 if v < spec[2] else -1
+            val = min(max(v, spec[1]), spec[2])
+        out[name] = val
+    return out
+
+
 class _FallbackStudy:
     """Sqlite-persisted study state for the no-optuna sampler.
 
@@ -193,6 +324,12 @@ class HyperOptimizer:
     #: when set, each trial trains on `sample_files` files drawn from
     #: train_inputs/test_inputs with a per-trial deterministic seed
     sample_files: Optional[int] = None
+    #: host-RAM budget forwarded to train_cae --host-memory-budget: trials
+    #: whose sampled files exceed it stream batches from disk
+    #: (data/diskstream.py) instead of materializing — the production
+    #: 100-file HPO workflow (reference hypar_optim.py:40-41) at real file
+    #: sizes no longer caps at host RAM
+    host_memory_budget: Optional[str] = None
     #: mesh for --mode vmap (trials axis sharded over its "data" devices)
     mesh: object = None
     # seed-trial enqueue (reference hypar_optim.py:116-131): param dicts
@@ -323,6 +460,8 @@ class HyperOptimizer:
         ):
             if knob in params:
                 args += [flag, str(params[knob])]
+        if self.host_memory_budget:
+            args += ["--host-memory-budget", str(self.host_memory_budget)]
         return args
 
     def _run_subprocess(self, params, model_folder,
@@ -354,17 +493,14 @@ class HyperOptimizer:
     def _run_inproc(self, params, model_folder,
                     train_inputs=None, test_inputs=None) -> float:
         """TPU-friendly: build + train in this process, read the history."""
-        from ..cli.common import broadcast_scalar_vars, open_inputs
-        from ..cli.train_cae import build_model, build_parser
+        from ..cli.train_cae import (build_model, build_parser,
+                                     open_training_datasets)
 
         args = build_parser().parse_args(
             self._cli_args(params, model_folder, train_inputs, test_inputs)
         )
-        train_ds = open_inputs(args.train_inputs)
-        test_ds = open_inputs(args.test_inputs)
-        case_dimension = train_ds[args.output_variable].dims[0]
-        broadcast_scalar_vars(train_ds, args.input_variables, case_dimension)
-        broadcast_scalar_vars(test_ds, args.input_variables, case_dimension)
+        # honors host_memory_budget: over-budget trials stream from disk
+        train_ds, test_ds = open_training_datasets(args, quiet=True)
         mt = build_model(args)
         if self.mesh is not None:
             mt.set_mesh(self.mesh)  # DP/TP-sharded trial training
@@ -453,6 +589,18 @@ class HyperOptimizer:
         from ..data.dataset import ArrayDataset
 
         train_inputs, test_inputs = self._trial_inputs(0)
+        if self.host_memory_budget:
+            from ..cli.train_cae import exceeds_memory_budget
+
+            if exceeds_memory_budget(
+                self.host_memory_budget, train_inputs + test_inputs
+            ):
+                raise ValueError(
+                    "--mode vmap holds the whole dataset device-resident "
+                    "(every trial shares it); the sampled files exceed "
+                    "--host-memory-budget — use --mode inproc or "
+                    "--sample-files to shrink the per-sweep draw"
+                )
         if self.sample_files:
             # one draw shared by the whole vmapped sweep (the trials axis
             # carries lr/wd, not data) — log it like the per-trial modes do
@@ -613,6 +761,13 @@ class HyperOptimizer:
         return study.best_params, study.best_value, results
 
     def _run_fallback(self, n_trials, storage):
+        """No-optuna study: seed trials, then TPE-like guided sampling.
+
+        The reference workflow runs optuna's TPESampler
+        (``hypar_optim.py:107-113``); when optuna is absent this uses
+        :func:`propose_params` — a Parzen-ratio proposer over the same
+        space — after ``_TPE_STARTUP`` random warmup trials, so local
+        search quality does not silently degrade to uniform random."""
         rng = random.Random(self.seed)
         study = _FallbackStudy(storage, self.study_name)
         results = list(study.existing_trials())
@@ -623,7 +778,9 @@ class HyperOptimizer:
                 best_params, best_value = dict(r["params"]), r["value"]
         queue = [dict(p) for p in self.seed_trials[start:]]
         for i in range(start, start + n_trials):
-            preset = queue.pop(0) if queue else None
+            preset = queue.pop(0) if queue else propose_params(
+                self.search_space, results, rng
+            )
             trial = _RandomTrial(i, rng, preset=preset)
             try:
                 value = self.objective(trial)

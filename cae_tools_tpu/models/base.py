@@ -233,10 +233,12 @@ class BaseModel:
         """Device-resident trainer by default; streaming for huge datasets
         or when ``model.streaming = True``."""
         from ..ops.augment import wrap_loss_with_augment
-        from ..train.stream import data_nbytes, pick_trainer
+        from ..train.stream import data_disk_backed, data_nbytes, pick_trainer
 
         loss_fn = wrap_loss_with_augment(loss_fn, self._augment_fn())
-        force = "streaming" if getattr(self, "streaming", False) else None
+        force = "streaming" if (
+            getattr(self, "streaming", False) or data_disk_backed(train_data)
+        ) else None
         trainer = pick_trainer(
             loss_fn,
             config,
@@ -265,6 +267,12 @@ class BaseModel:
         return self._forward_eval_p(self.params, self.state, x)
 
     def _pad_cases(self, x_np):
+        if getattr(x_np, "disk_backed", False):
+            raise NotImplementedError(
+                "whole-dataset apply on a disk-backed dataset would "
+                "materialize it; run apply_cae on in-RAM (per-file) inputs "
+                "— training and evaluation are the streamed paths"
+            )
         n = x_np.shape[0]
         cs = getattr(self, "apply_chunk_size", None)
         if cs is not None:
@@ -393,6 +401,8 @@ class BaseModel:
         """
         dataset.set_normalise_output(False)
         x, y_not_norm, mask = dataset.arrays_nhwc()
+        if getattr(x, "disk_backed", False):
+            return self._evaluate_disk(dataset, x, y_not_norm, mask)
         scores = self._predict_normalised(x)
         scores = dataset.denormalise_output(scores, force=True)
         if getattr(self, "fast_eval", False):
@@ -405,6 +415,31 @@ class BaseModel:
         mm = ModelMetric()
         for i in range(x.shape[0]):
             mm.accumulate(y_not_norm[i], scores[i], mask[i])
+        return mm.get_metrics()
+
+    def _evaluate_disk(self, dataset, x, y_not_norm, mask, chunk_rows=256):
+        """Chunked evaluate over a disk-backed dataset: materialize
+        ``chunk_rows`` cases at a time, predict, accumulate — host memory
+        stays O(chunk) regardless of dataset size.  Chunks are padded to a
+        fixed size (repeating the last row) so every chunk reuses one
+        compiled apply graph."""
+        n = x.shape[0]
+        cs = min(chunk_rows, n)
+        mm = ModelMetric()
+        for s in range(0, n, cs):
+            idx = np.arange(s, min(n, s + cs))
+            valid = idx.shape[0]
+            if valid < cs:
+                idx = np.concatenate(
+                    [idx, np.broadcast_to(idx[-1:], (cs - valid,))]
+                )
+            xb = x[idx]
+            yb = y_not_norm[idx]
+            mb = mask[idx]
+            scores = self._predict_normalised(xb)
+            scores = dataset.denormalise_output(scores, force=True)
+            for i in range(valid):
+                mm.accumulate(yb[i], scores[i], mb[i])
         return mm.get_metrics()
 
     # ---- inference into a dataset (base_model.py:102-152) -----------------

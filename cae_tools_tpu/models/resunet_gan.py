@@ -88,11 +88,18 @@ class ResUNetGAN(UNETRes):
     # ---- training -----------------------------------------------------------
     def _make_trainer(self, loss_fn, config, train_data):
         from ..train.gan import GANTrainer
-        from ..train.stream import DEVICE_RESIDENT_LIMIT_BYTES, data_nbytes
+        from ..train.stream import (DEVICE_RESIDENT_LIMIT_BYTES,
+                                    data_disk_backed, data_nbytes)
 
         # the adversarial trainer is device-resident only (no streaming
         # twin); fail fast instead of silently bypassing the pick_trainer
         # size check every other model family goes through
+        if data_disk_backed(train_data):
+            raise ValueError(
+                "resunet_gan has no streaming trainer; disk-backed "
+                "datasets (--host-memory-budget) require a "
+                "non-adversarial method"
+            )
         if getattr(self, "streaming", False):
             raise ValueError(
                 "resunet_gan has no streaming trainer; unset "

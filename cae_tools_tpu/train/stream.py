@@ -32,7 +32,16 @@ DEVICE_RESIDENT_LIMIT_BYTES = 4 << 30
 
 
 def data_nbytes(data: dict) -> int:
-    return sum(np.asarray(v).nbytes for v in data.values())
+    # use the declared nbytes when present: disk-backed lazy arrays
+    # (data/diskstream.py DiskArray) must not be materialized to be sized
+    return sum(
+        v.nbytes if hasattr(v, "nbytes") else np.asarray(v).nbytes
+        for v in data.values()
+    )
+
+
+def data_disk_backed(data: dict) -> bool:
+    return any(getattr(v, "disk_backed", False) for v in data.values())
 
 
 class StreamingTrainer(Trainer):

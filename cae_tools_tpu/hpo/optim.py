@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import random
 import re
 import subprocess
@@ -544,13 +545,25 @@ class HyperOptimizer:
         return self._run_fallback(n_trials, storage)
 
     # ------------------------------------------------------------------
+    #: continuous knobs (beyond lr/wd) that can ride the vmapped trials
+    #: axis per method: loss lambdas and dropout rates are traced scalars
+    #: in the loss graph, so trials differing only in them share one
+    #: compiled sweep (reference space: hypar_optim.py:8-25)
+    _VMAP_KNOBS = {
+        "unet": ("lambda_pearson", "dropout_rate"),
+        "unet_res": ("lambda_pearson", "dropout_rate"),
+        "var": ("lambda_mse", "lambda_kl", "lambda_ssim"),
+    }
+
     def _run_vmap(self, n_trials, storage):
         """BASELINE config 5 surfaced as ``--mode vmap``: sample
-        ``n_trials`` (learning_rate, weight_decay) pairs from the space and
-        train them ALL simultaneously — the compiled epoch x batch loop is
-        vmapped over a trials axis sharded across the mesh's "data" devices
-        (``hpo/vmap_search.py``), standing in for the reference's
-        sequential subprocess trials (``hypar_optim.py:76``).
+        ``n_trials`` points over every *continuous* knob in the space —
+        (learning_rate, weight_decay) plus the method's traceable loss/
+        dropout knobs (``_VMAP_KNOBS``) — and train them ALL simultaneously:
+        the compiled epoch x batch loop is vmapped over a trials axis
+        sharded across the mesh's "data" devices (``hpo/vmap_search.py``),
+        standing in for the reference's sequential subprocess trials
+        (``hypar_optim.py:76``).
 
         Structural knobs (latent/fc/kernel/batch/...) change array shapes
         and cannot live on a vmap axis; they are pinned to one
@@ -576,11 +589,21 @@ class HyperOptimizer:
         wd_spec = self.search_space.get(
             "weight_decay", ("loguniform", 1e-7, 1e-3)
         )
+        # the method's extra vmappable knobs that are actually searched
+        # (non-fixed continuous specs in the space)
+        extra_knobs = [
+            k for k in self._VMAP_KNOBS.get(method, ())
+            if self.search_space.get(k, ("fixed",))[0]
+            in ("uniform", "loguniform")
+        ]
         lrs, wds = [], []
+        knob_vals = {k: [] for k in extra_knobs}
         for i in range(n_trials):
             t = _RandomTrial(i, rng)
             lrs.append(t.suggest("learning_rate", lr_spec))
             wds.append(t.suggest("weight_decay", wd_spec))
+            for k in extra_knobs:
+                knob_vals[k].append(t.suggest(k, self.search_space[k]))
 
         # one-time architecture/dataset setup through the product path
         # (spec solver, normalisation, module build) with nr_epochs=0
@@ -655,7 +678,49 @@ class HyperOptimizer:
             data["m"] = m_tr if m_tr is not None else np.ones_like(y_tr)
             tdata["m"] = m_te if m_te is not None else np.ones_like(y_te)
 
-        loss_fn = mt._make_loss_fn()
+        # ---- per-trial knob injection (beyond lr/wd) -------------------
+        # make_loss_fn mutates the model's knob attributes with the trial's
+        # traced scalars, then builds the loss.  The mutation must OUTLIVE
+        # make_loss_fn — non-fused forwards read self.encoder/self.decoder
+        # at call time (unet_model.py::_net_apply) — so concrete values are
+        # snapshotted here and restored after the sweep, alongside the
+        # params/state snapshot below.
+        knob_saved = {
+            k: getattr(mt, k) for k in extra_knobs if k != "dropout_rate"
+        }
+        mod_saved = {}
+        env_saved = {}
+        gate_pinned = False
+        if "dropout_rate" in extra_knobs:
+            knob_saved["dropout_rate"] = mt.dropout_rate
+            for attr in ("encoder", "decoder"):
+                mod = getattr(mt, attr, None)
+                if mod is not None and hasattr(mod, "dropout_rate"):
+                    mod_saved[attr] = mod.dropout_rate
+        if "lambda_ssim" in extra_knobs:
+            # the fused-tail gate branches on lambda_ssim != 0, which is
+            # trial-dependent here: pin the XLA loss for the whole sweep,
+            # and keep MS-SSIM on the XLA op (the Pallas MS-SSIM kernel is
+            # not exercised under vmap batching)
+            mt._use_fused_train_tail = lambda: False
+            gate_pinned = True
+            env_saved["CAE_TPU_MSSSIM"] = os.environ.get("CAE_TPU_MSSSIM")
+            os.environ["CAE_TPU_MSSSIM"] = "xla"
+
+        loss_fn = make_loss_fn = None
+        if extra_knobs:
+
+            def make_loss_fn(kn):
+                for k, v in kn.items():
+                    if k == "dropout_rate":
+                        for attr in mod_saved:
+                            getattr(mt, attr).dropout_rate = v
+                    else:
+                        setattr(mt, k, v)
+                return mt._make_loss_fn()
+
+        else:
+            loss_fn = mt._make_loss_fn()
         if hasattr(mt, "_init_params"):
 
             def init_fn(r):
@@ -677,20 +742,37 @@ class HyperOptimizer:
         # from the 0-epoch warm-up so the all-trials-diverged path below
         # can restore them instead of leaving escaped tracers on mt
         params_before, state_before = mt.params, mt.state
-        losses, params_stack, state_stack = vmap_trials(
-            loss_fn,
-            init_fn,
-            data,
-            tdata,
-            lrs,
-            wds,
-            batch_size=int(base.get("batch_size", 10)),
-            nr_epochs=int(base.get("nr_epochs", 100)),
-            seed=self.seed,
-            mesh=self.mesh,
-            optimizer="adamw" if method in ("unet", "unet_res", "srcnn_res")
-            else "adam_l2",
-        )
+        try:
+            losses, params_stack, state_stack = vmap_trials(
+                loss_fn,
+                init_fn,
+                data,
+                tdata,
+                lrs,
+                wds,
+                batch_size=int(base.get("batch_size", 10)),
+                nr_epochs=int(base.get("nr_epochs", 100)),
+                seed=self.seed,
+                mesh=self.mesh,
+                optimizer="adamw"
+                if method in ("unet", "unet_res", "srcnn_res")
+                else "adam_l2",
+                knobs=knob_vals,
+                make_loss_fn=make_loss_fn,
+            )
+        finally:
+            # restore the concrete knob attributes the traced sweep mutated
+            for k, v in knob_saved.items():
+                setattr(mt, k, v)
+            for attr, v in mod_saved.items():
+                getattr(mt, attr).dropout_rate = v
+            if gate_pinned:
+                del mt._use_fused_train_tail  # un-shadow the class method
+            for k, v in env_saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
         study = _FallbackStudy(storage, self.study_name)
         results = []
@@ -700,6 +782,8 @@ class HyperOptimizer:
             params = dict(base)
             params["learning_rate"] = lrs[i]
             params["weight_decay"] = wds[i]
+            for k in extra_knobs:
+                params[k] = knob_vals[k][i]
             rec = {"number": i, "value": value, "params": params}
             if not math.isfinite(value):
                 rec = {
@@ -724,6 +808,14 @@ class HyperOptimizer:
                 mt.state = jax.tree_util.tree_map(take, state_stack)
             mt.lr = best_params["learning_rate"]
             mt.weight_decay = best_params["weight_decay"]
+            for k in extra_knobs:
+                # parameters.json records the winning trial's knobs
+                if k == "dropout_rate":
+                    mt.dropout_rate = best_params[k]
+                    for attr in mod_saved:
+                        getattr(mt, attr).dropout_rate = best_params[k]
+                else:
+                    setattr(mt, k, best_params[k])
             mt.save(f"{self.work_folder}/vmap_best")
         else:
             # every trial diverged: restore the pre-sweep concrete pytrees

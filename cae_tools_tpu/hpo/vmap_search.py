@@ -3,7 +3,8 @@
 BASELINE.json config 5 asks for "parallel trials across DP mesh replicas".
 The reference runs Optuna trials *sequentially* as subprocesses
 (``hypar_optim.py:76``); here, trials that share one architecture but differ
-in continuous knobs (learning rate, weight decay, init seed) are trained
+in continuous knobs (learning rate, weight decay, loss lambdas, dropout
+rates, init seed) are trained
 simultaneously: the whole compiled epoch x batch training loop is ``vmap``-ed
 over a trials axis, and that axis is sharded across the mesh's "data"
 devices — each device trains its own replica, no collectives needed.
@@ -40,8 +41,10 @@ def vmap_trials(
     seed: int = 0,
     mesh=None,
     optimizer: str = "adamw",
+    knobs: dict = None,
+    make_loss_fn: Callable = None,
 ):
-    """Train one model per (lr, wd) pair simultaneously.
+    """Train one model per trial simultaneously.
 
     loss_fn(params, state, rng, batch, train) -> (loss, (new_state, aux))
     init_fn(rng) -> (params, state)
@@ -51,12 +54,25 @@ def vmap_trials(
     target) or "adam_l2" (torch Adam(weight_decay=...); Conv/Linear/VarAE).
     The trials axis is padded to a mesh-divisible count when sharded.
 
+    Beyond (lr, wd), any *traceable* continuous knob can ride the trials
+    axis: pass ``knobs`` as ``{name: per-trial array}`` together with
+    ``make_loss_fn({name: traced scalar}) -> loss_fn``, which is invoked
+    once inside the vmapped trace with that trial's scalars (loss lambdas,
+    dropout rates, ...).  Structural knobs (layer counts, fc/latent sizes)
+    change shapes and must stay grid-searched outside.
+
     Returns (final_test_losses [T], params_stack, state_stack); trial i used
-    learning_rates[i] / weight_decays[i] and an independent init.
+    learning_rates[i] / weight_decays[i] / knobs[*][i] and an independent
+    init.
     """
     lrs = jnp.asarray(learning_rates, jnp.float32)
     wds = jnp.asarray(weight_decays, jnp.float32)
+    knobs = {
+        k: jnp.asarray(v, jnp.float32) for k, v in (knobs or {}).items()
+    }
     assert lrs.shape == wds.shape
+    for k, v in knobs.items():
+        assert v.shape == lrs.shape, (k, v.shape, lrs.shape)
     n_requested = lrs.shape[0]
     if mesh is not None:
         n_data = mesh.shape["data"]
@@ -64,6 +80,10 @@ def vmap_trials(
         if pad:
             lrs = jnp.concatenate([lrs, jnp.repeat(lrs[-1:], pad)])
             wds = jnp.concatenate([wds, jnp.repeat(wds[-1:], pad)])
+            knobs = {
+                k: jnp.concatenate([v, jnp.repeat(v[-1:], pad)])
+                for k, v in knobs.items()
+            }
     n_trials = lrs.shape[0]
 
     n = next(iter(train_data.values())).shape[0]
@@ -83,7 +103,8 @@ def vmap_trials(
 
     tx = make_injected_optimizer(optimizer)
 
-    def train_one(lr, wd, trial_rng, data, tdata):
+    def train_one(lr, wd, trial_knobs, trial_rng, data, tdata):
+        fn = make_loss_fn(trial_knobs) if make_loss_fn is not None else loss_fn
         params, state = init_fn(trial_rng)
         opt_state = tx.init(params)
         opt_state.hyperparams["learning_rate"] = lr
@@ -104,7 +125,7 @@ def vmap_trials(
                 batch = {k: v[bidx] for k, v in data.items()}
                 batch["w"] = bw
                 (loss, (new_state, _aux)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
+                    fn, has_aux=True
                 )(params, state, brng, batch, True)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -124,7 +145,7 @@ def vmap_trials(
             bidx, bw = scan_in
             batch = {k: v[bidx] for k, v in tdata.items()}
             batch["w"] = bw
-            loss, _ = loss_fn(params, state, jax.random.PRNGKey(0), batch, False)
+            loss, _ = fn(params, state, jax.random.PRNGKey(0), batch, False)
             return None, loss
 
         _, tlosses = jax.lax.scan(eval_step, None, (test_idx, test_w))
@@ -132,7 +153,7 @@ def vmap_trials(
 
     trial_rngs = jax.random.split(jax.random.PRNGKey(seed), n_trials)
 
-    vmapped = jax.vmap(train_one, in_axes=(0, 0, 0, None, None))
+    vmapped = jax.vmap(train_one, in_axes=(0, 0, 0, 0, None, None))
 
     data = {k: jnp.asarray(v) for k, v in train_data.items()}
     tdata = {k: jnp.asarray(v) for k, v in test_data.items()}
@@ -145,12 +166,15 @@ def vmap_trials(
         repl = replicated_sharding(mesh)
         lrs = jax.device_put(lrs, trial_sharding)
         wds = jax.device_put(wds, trial_sharding)
+        knobs = {k: jax.device_put(v, trial_sharding) for k, v in knobs.items()}
         trial_rngs = jax.device_put(trial_rngs, trial_sharding)
         data = jax.device_put(data, repl)
         tdata = jax.device_put(tdata, repl)
 
     run = jax.jit(vmapped)
-    test_losses, params_stack, state_stack = run(lrs, wds, trial_rngs, data, tdata)
+    test_losses, params_stack, state_stack = run(
+        lrs, wds, knobs, trial_rngs, data, tdata
+    )
     # drop padded duplicate trials
     test_losses = np.asarray(test_losses)[:n_requested]
     take = lambda a: a[:n_requested]

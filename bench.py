@@ -391,6 +391,166 @@ def build_jax_varae_train(batch, k_steps):
     return run, (params, state, opt_state), (x, y)
 
 
+def build_jax_srcnn_train(batch, k_steps):
+    """K SRCNNRes train steps per ``lax.scan`` dispatch.
+
+    The reference accepts ``--method srcnn_res`` but never shipped the
+    model (``base_model.py:142-143`` hints at it); the rebuilt capability
+    (``models/srcnn_res_model.py``) is bilinear-up + 1x1 base projection +
+    9-5-5 conv residual with an MSE loss.  Full-resolution 64-channel
+    activations bound the batch (b x 256 x 256 x 64 f32 = 16.8 GB at
+    b1024): b64 keeps fwd+bwd inside HBM."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cae_tools_tpu.nn import modules as M
+
+    net = M.SRCNNRes((1, 16, 16), (1, 256, 256))
+    params, state = net.init(jax.random.PRNGKey(0))
+    tx = optax.chain(optax.add_decayed_weights(1e-5), optax.adam(1e-3))
+    opt_state = tx.init(params)
+
+    def loss_fn(params, x, y):
+        out, _ = net.apply(params, state, x, train=True)
+        return jnp.mean((out - y) ** 2)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(carry, rng, x, y):
+        def step_fn(c, r):
+            params, opt_state = c
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        carry, losses = jax.lax.scan(
+            step_fn, carry, jax.random.split(rng, k_steps)
+        )
+        return carry, losses[-1]
+
+    nprng = np.random.default_rng(0)
+    x = jnp.asarray(nprng.random((batch, 16, 16, 1), dtype=np.float32))
+    y = jnp.asarray(nprng.random((batch, 256, 256, 1), dtype=np.float32))
+    return run, (params, opt_state), (x, y)
+
+
+def build_jax_gan_train(batch, k_steps, n_critic=1):
+    """K ResUNetGAN two-player steps per ``lax.scan`` dispatch.
+
+    Mirrors the compiled WGAN-GP step of ``train/gan.py::GANTrainer``
+    (reference intent markers: ``unet.py:277-293`` gradient-penalty
+    leftover): per step, ``n_critic`` critic updates (Wasserstein loss +
+    lambda_gp * gradient penalty, Adam(b1=0, b2=0.9)) on a stop-gradient
+    generator sample, then one generator update with the UNET content
+    loss (masked MSE + Pearson) plus lambda_adv * -E[D(G(x))].  The
+    generator is the UNETRes residual form; the critic is the conditional
+    PatchGAN (``nn.modules.PatchCritic``)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cae_tools_tpu.models.sizer import create_model_spec
+    from cae_tools_tpu.nn import modules as M
+    from cae_tools_tpu.ops import convops
+    from cae_tools_tpu.ops import losses as L
+
+    spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(256, 256), output_channels=1,
+    )
+    enc = M.UNetEncoder(spec.input_layers, 32, 128, dropout_rate=0.1)
+    skip_shapes = [tuple(l.get_output_dimensions()) for l in spec.input_layers[:-1]]
+    dec = M.UNetDecoder(
+        spec.output_layers, 32, 128, dropout_rate=0.1,
+        skip_shapes=skip_shapes, final_sigmoid=False,
+    )
+    critic = M.PatchCritic(
+        image_shape=(1, 256, 256), cond_channels=1, base_channels=32
+    )
+    ep, es = enc.init(jax.random.PRNGKey(0))
+    dp, ds = dec.init(jax.random.PRNGKey(1))
+    g_params = {
+        "e": ep, "d": dp,
+        "bp": {
+            "w": jnp.full((1, 1, 1, 1), 1.0, jnp.float32),
+            "b": jnp.zeros((1,), jnp.float32),
+        },
+        "rs": jnp.asarray(0.01, jnp.float32),
+    }
+    state = {"e": es, "d": ds}
+    d_params = critic.init(jax.random.PRNGKey(7))
+    g_tx = optax.adamw(1e-3, weight_decay=1e-5)
+    d_tx = optax.adam(1e-3, b1=0.0, b2=0.9)
+    g_opt, d_opt = g_tx.init(g_params), d_tx.init(d_params)
+    lam_adv, lam_gp = 1e-3, 10.0
+
+    def net_apply(gp_, x, rng):
+        r1, r2 = jax.random.split(rng)
+        (z, skips), _ = enc.apply(gp_["e"], state["e"], x, True, rng=r1)
+        out, _ = dec.apply(gp_["d"], state["d"], z, skips, True, rng=r2)
+        up = jax.image.resize(
+            x, (x.shape[0], 256, 256, x.shape[3]), "bilinear"
+        )
+        base = convops.conv2d(up, gp_["bp"]["w"]) + gp_["bp"]["b"]
+        return base + gp_["rs"] * out
+
+    def critic_apply(dp_, img, x):
+        cond = jax.image.resize(
+            x, (x.shape[0], 256, 256, x.shape[3]), "bilinear"
+        )
+        return critic.apply(dp_, img, cond=cond)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(carry, rng, x, y):
+        def step_fn(c, r):
+            g_params, d_params, g_opt, d_opt = c
+            keys = jax.random.split(r, 2 + 2 * n_critic)
+            r_g, r_fakes, r_gps = keys[1], keys[2:2 + n_critic], keys[2 + n_critic:]
+
+            for i in range(n_critic):
+                fake = jax.lax.stop_gradient(net_apply(g_params, x, r_fakes[i]))
+
+                def d_loss_fn(dp_):
+                    wdist = jnp.mean(critic_apply(dp_, y, x)) - jnp.mean(
+                        critic_apply(dp_, fake, x)
+                    )
+                    gp = L.gradient_penalty(
+                        r_gps[i],
+                        lambda img: critic_apply(dp_, img, x),
+                        y,
+                        fake,
+                    )
+                    return -wdist + lam_gp * gp
+
+                d_grads = jax.grad(d_loss_fn)(d_params)
+                d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+                d_params = optax.apply_updates(d_params, d_updates)
+
+            def g_loss_fn(gp_):
+                out = net_apply(gp_, x, r_g)
+                m = jnp.ones_like(out)
+                mse = L.masked_mse(out, y, m)
+                corr = jnp.mean(L.masked_pearson(out, y, m))
+                adv = -jnp.mean(critic_apply(d_params, out, x))
+                return mse + (1.0 - corr) + lam_adv * adv
+
+            loss, grads = jax.value_and_grad(g_loss_fn)(g_params)
+            g_updates, g_opt = g_tx.update(grads, g_opt, g_params)
+            g_params = optax.apply_updates(g_params, g_updates)
+            return (g_params, d_params, g_opt, d_opt), loss
+
+        carry, losses = jax.lax.scan(
+            step_fn, carry, jax.random.split(rng, k_steps)
+        )
+        return carry, losses[-1]
+
+    nprng = np.random.default_rng(0)
+    x = jnp.asarray(nprng.random((batch, 16, 16, 1), dtype=np.float32))
+    y = jnp.asarray(nprng.random((batch, 256, 256, 1), dtype=np.float32))
+    return run, (g_params, d_params, g_opt, d_opt), (x, y)
+
+
 def build_jax_unet_forward(batch, fused_tail=False):
     """Eval-mode UNET forward (the production downscaling model).
 
@@ -618,6 +778,24 @@ _VARAE_BATCH = min(256, _BATCH)
 _TORCH_TRAIN_BATCH = int(os.environ.get("CAE_BENCH_TORCH_TRAIN_BATCH", "64"))
 #: steps per timed scan dispatch for the train metrics
 _TRAIN_SCAN_STEPS = int(os.environ.get("CAE_BENCH_SCAN_STEPS", "64"))
+#: pure-XLA apply baselines (xla_high / bf16 / bf16_weights / unet) bench
+#: at batch 4096, NOT 8192 (round 4): XLA apply throughput is saturated by
+#: 4096 (measured 76.2k img/s @4096 vs 77.9k @8192 UNET, 72.7-76.2k vs
+#: 76.2k ConvAE — 2-5%, inside the tunnel's run variance), while the warm
+#: program load that dominates each child's slice is 5x cheaper (measured
+#: 2026-08-19: first call 57.8 s @4096 vs 299.9 s @8192, both cache-warm)
+#: — the round-3 artifact's five skipped metrics were exactly these
+#: children stalling past their slices at b8192.  The fused paths keep
+#: b8192 (they load reliably; the headline is unchanged); the fused-vs-XLA
+#: ratio is batch-stable (2.05x at matched b4096, 2.15x at matched b8192,
+#: BASELINE.md scaling table).
+_XLA_BATCH = int(os.environ.get("CAE_BENCH_XLA_BATCH", str(min(4096, _BATCH))))
+#: extension-model train batches (round 4): SRCNNRes materializes
+#: b x 256 x 256 x 64 f32 activations (fwd+bwd) — b64 keeps it in HBM;
+#: the GAN two-player step runs ~4 full-res generator/critic passes + a
+#: gradient-penalty double-grad per step — b128.
+_SRCNN_BATCH = min(64, _BATCH)
+_GAN_BATCH = min(128, _BATCH)
 
 
 def measure_one(metric: str) -> dict:
@@ -692,9 +870,22 @@ def measure_one(metric: str) -> dict:
         vrun, vcarry, vdata = build_jax_varae_train(_VARAE_BATCH, k)
         varae_ips = _VARAE_BATCH / time_jax_train_scan(vrun, vcarry, vdata, k)
         return {"train_varae": varae_ips}
+    if metric == "train_srcnn":
+        convops.set_precision("high")
+        k = _TRAIN_SCAN_STEPS
+        srun, scarry, sdata = build_jax_srcnn_train(_SRCNN_BATCH, k)
+        return {metric: _SRCNN_BATCH / time_jax_train_scan(srun, scarry, sdata, k)}
+    if metric == "train_gan":
+        convops.set_precision("high")
+        k = max(8, _TRAIN_SCAN_STEPS // 4)  # heavy two-player step
+        grun, gcarry, gdata = build_jax_gan_train(_GAN_BATCH, k)
+        return {metric: _GAN_BATCH / time_jax_train_scan(grun, gcarry, gdata, k)}
     if metric in ("apply_unet", "apply_unet_fused"):
         convops.set_precision("high")
-        ub = min(8192, _BATCH)
+        # fused = product default at the b8192 headline scale; the pure-XLA
+        # baseline at b4096 (saturated; 5x cheaper program load, see
+        # _XLA_BATCH)
+        ub = min(8192, _BATCH) if metric == "apply_unet_fused" else _XLA_BATCH
         forward, x = build_jax_unet_forward(
             ub, fused_tail=metric == "apply_unet_fused"
         )
@@ -706,8 +897,11 @@ def measure_one(metric: str) -> dict:
         "apply_bf16": {},
         "apply_bf16_weights": {"bf16_weights": True},
     }[metric]
-    forward, x = build_jax_forward(spec, _LATENT, _FC, _BATCH, **kwargs)
-    ips = _BATCH * iters / time_jax(forward, x, iters)
+    # the fused product path benches at the b8192 headline scale; the
+    # pure-XLA comparison baselines at the saturated b4096 (see _XLA_BATCH)
+    b = _BATCH if metric == "apply_fused" else _XLA_BATCH
+    forward, x = build_jax_forward(spec, _LATENT, _FC, b, **kwargs)
+    ips = b * iters / time_jax(forward, x, iters)
     return {metric: ips}
 
 
@@ -807,6 +1001,10 @@ _TRAIN_METRICS = (
     "train_unetres",        # UNETRes XLA twin
     "train_varae",    # Pallas MS-SSIM value+grad in the loss
     "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
+    # extension models LAST in the suite (round 4): their child-slice
+    # position means a stalled compile can only cost themselves
+    "train_srcnn",    # SRCNNRes residual super-resolver (MSE, adam_l2)
+    "train_gan",      # ResUNetGAN two-player WGAN-GP step (n_critic=1)
 )
 
 #: metrics in priority order; the first is the headline.  Apply metrics
@@ -825,7 +1023,8 @@ _ALL_KEYS = ("apply_fused", "train_convae_fused", "train_convae",
              "train_convae_fused_bf16",
              "train_unet_fused", "train_unet_fused_bf16", "train_unet",
              "train_unetres_fused", "train_unetres", "train_varae",
-             "train_convae_bf16", "apply_unet_fused", "apply_unet",
+             "train_convae_bf16", "train_srcnn", "train_gan",
+             "apply_unet_fused", "apply_unet",
              "apply_xla_high", "apply_bf16", "apply_bf16_weights")
 
 
@@ -851,7 +1050,10 @@ def _build_result(rates, torch_stats, elapsed_s):
         "train_batch": _TRAIN_BATCH,
         "train_unet_batch": _UNET_BATCH,
         "train_varae_batch": _VARAE_BATCH,
+        "train_srcnn_batch": _SRCNN_BATCH,
+        "train_gan_batch": _GAN_BATCH,
         "apply_unet_batch": min(8192, _BATCH),
+        "apply_xla_batch": _XLA_BATCH,
         "torch_train_batch": _TORCH_TRAIN_BATCH,
         "train_convae_torch_cpu_images_per_sec": round(torch_train_ips, 2),
         "train_convae_torch_cpu_spread": round(torch_train_spread, 3),
@@ -872,6 +1074,8 @@ def _build_result(rates, torch_stats, elapsed_s):
         "train_unetres": "train_unetres_images_per_sec",
         "train_unetres_fused": "train_unetres_fused_images_per_sec",
         "train_varae": "train_varae_images_per_sec",
+        "train_srcnn": "train_srcnn_images_per_sec",
+        "train_gan": "train_gan_images_per_sec",
         "apply_unet_fused": "apply_unet_fused_images_per_sec",
         "apply_unet": "apply_unet_images_per_sec",
     }

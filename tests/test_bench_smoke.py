@@ -30,9 +30,13 @@ def test_bench_emits_parseable_headline_record():
         CAE_BENCH_HEADLINE_CAP_S="120",
         CAE_BENCH_METRIC_CAP_S="60",
         # interpret-mode Pallas grads are minutes-slow on CPU; the fused
-        # train metrics are covered by tests/test_train_tail.py instead
+        # train metrics are covered by tests/test_train_tail.py instead.
+        # srcnn/gan: full-res 256x256 conv stacks whose CPU compile alone
+        # is minutes — their builders are exercised on the real TPU
+        # (CAE_BENCH_ONLY warm-up) and by the model-level tests
         CAE_BENCH_SKIP="train_convae_fused,train_unet_fused,"
-        "train_convae_fused_bf16,train_unetres_fused",
+        "train_convae_fused_bf16,train_unetres_fused,"
+        "train_srcnn,train_gan",
     )
     out = subprocess.run(
         [sys.executable, BENCH], env=env, text=True, timeout=420,

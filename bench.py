@@ -997,28 +997,44 @@ _TRAIN_METRICS = (
     "train_unet_fused",  # UNET product-default train loss (fused last stage)
     "train_unet_fused_bf16",  # fused tail + 1-pass bf16 interior convs
     "train_unet",        # UNET XLA train loss (the fused path's baseline)
+    # the round-4 extension metrics come before the r3-recorded tail:
+    # if a tunnel stall truncates the suite's slice, the loss falls on
+    # metrics that already have a driver-recorded value, not on the
+    # never-recorded ones
+    "train_srcnn",    # SRCNNRes residual super-resolver (MSE, adam_l2)
+    "train_gan",      # ResUNetGAN two-player WGAN-GP step (n_critic=1)
     "train_unetres_fused",  # UNETRes residual head fused in-kernel
     "train_unetres",        # UNETRes XLA twin
     "train_varae",    # Pallas MS-SSIM value+grad in the loss
     "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
-    # extension models LAST in the suite (round 4): their child-slice
-    # position means a stalled compile can only cost themselves
-    "train_srcnn",    # SRCNNRes residual super-resolver (MSE, adam_l2)
-    "train_gan",      # ResUNetGAN two-player WGAN-GP step (n_critic=1)
 )
 
 #: metrics in priority order; the first is the headline.  Apply metrics
 #: are one-per-process (dispatch-tax isolation); train metrics ride the
 #: suite child.
 _METRICS = (
+    # Round-4 ordering (the round-3 artifact skipped every metric queued
+    # AFTER train_suite): the apply children are small and cheap (~70 s
+    # warm at b4096, ~21 s for the fused b8192 paths) so they run right
+    # after the headline under a tight per-child cap (_FAST_APPLY_CAP_S)
+    # that kills a stalled child quickly — tunnel stalls are transient,
+    # and the sweep-2 retry usually lands the metric for another ~70 s.
+    # train_suite goes last with whatever budget remains (good-day total
+    # ~880 s of the 1000 s budget); if a stall truncates it, the loss
+    # falls on its r3-recorded tail members, not on the five comparison
+    # baselines the round-3 verdict flagged.
     "apply_fused",
-    "train_suite",
-    "apply_unet_fused",  # UNET product-default apply (fused Pallas tail)
+    "apply_xla_high",    # ConvAE XLA comparison baseline (b4096)
+    "apply_bf16",        # 1-pass bf16 XLA fast path (b4096)
+    "apply_bf16_weights",  # + bf16 weight storage (b4096)
     "apply_unet",        # UNET pure-XLA apply (the fused tail's baseline)
-    "apply_xla_high",    # ConvAE XLA comparison baseline (demoted below the
-    "apply_bf16",        # product paths: on a stalled-tunnel day the fused
-    "apply_bf16_weights",  # headlines must land before the baselines burn slices)
+    "apply_unet_fused",  # UNET product-default apply (fused Pallas tail)
+    "train_suite",
 )
+#: per-child slice for the non-headline apply children: warm load+measure
+#: is ~70 s at b4096 / ~21 s fused-b8192; a child past 130 s is stalled —
+#: kill it fast and let the retry sweep have a cheap second shot
+_FAST_APPLY_CAP_S = float(os.environ.get("CAE_BENCH_FAST_APPLY_CAP_S", "130"))
 _ALL_KEYS = ("apply_fused", "train_convae_fused", "train_convae",
              "train_convae_fused_bf16",
              "train_unet_fused", "train_unet_fused_bf16", "train_unet",
@@ -1134,10 +1150,10 @@ def main():
     torch_stats = (torch_ips, torch_spread, torch_train_ips, torch_train_spread)
 
     # ---- TPU metrics, headline first, budget-gated, emit-as-you-go ---------
-    # Two passes: tunnel stalls are transient (a cache-warm child normally
-    # finishes in 60-140 s but occasionally hangs past any cap), so after
-    # the priority sweep any still-missing metric gets a second chance
-    # with whatever budget remains.
+    # Three passes: tunnel stalls are transient (a cache-warm child
+    # normally finishes in 15-90 s but occasionally hangs past any cap),
+    # so after the priority sweep any still-missing metric gets up to two
+    # more chances with whatever budget remains.
     rates = {}
     skip = {
         m for m in os.environ.get("CAE_BENCH_SKIP", "").split(",") if m
@@ -1146,21 +1162,31 @@ def main():
         if sweep == 0:
             return _METRICS
         # retry pass: anything still missing; a partially-harvested
-        # train suite retries its missing members individually
+        # retry pass: apply children first (the round-3 skip victims),
+        # then any missing train-suite members individually
         out = [m for m in _METRICS if m != "train_suite"]
-        out[1:1] = list(_TRAIN_METRICS)
+        out.extend(_TRAIN_METRICS)
         return tuple(out)
 
-    for sweep in range(2):
+    for sweep in range(3):
         for i, metric in enumerate(sweep_metrics(sweep)):
             if _metric_done(metric, rates) or metric in skip:
                 continue
             if metric == "train_suite":
-                # one child, seven scan-timed metrics: most of its slice
-                # is per-graph program load; results stream out as lines
+                # one child, all train metrics scan-timed: most of its
+                # slice is per-graph program load; results stream out as
+                # lines, so a truncated child still lands its early members
                 cap = max(_HEADLINE_CAP_S, 0.65 * _BUDGET_S)
-            elif i == 0 or sweep > 0:
+            elif metric == "apply_fused" and sweep == 0:
+                # the headline must land even through a ~300 s tunnel
+                # stall: generous first slice
                 cap = _HEADLINE_CAP_S
+            elif metric.startswith("apply_"):
+                # small warm programs: kill a stalled child fast, retry
+                # cheap (see _FAST_APPLY_CAP_S).  The b8192 fused children
+                # (normally ~21-25 s) get 1.5x: observed stalls resolve in
+                # 85-95 s more often than the b4096 slice allows for them
+                cap = _FAST_APPLY_CAP_S * (1.5 if "fused" in metric else 1.0)
             else:
                 cap = _METRIC_CAP_S
             if remaining() < 90:

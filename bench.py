@@ -46,6 +46,7 @@ the rest listed in "skipped".
 import json
 import os
 import statistics
+import sys
 import time
 from functools import partial
 
@@ -62,9 +63,8 @@ _BATCH = int(os.environ.get("CAE_BENCH_BATCH", "8192"))
 _ITERS = int(os.environ.get("CAE_BENCH_ITERS", "20"))
 #: total wall-clock budget; stay well inside the driver's ~20 min timeout
 _BUDGET_S = float(os.environ.get("CAE_BENCH_BUDGET_S", "1000"))
-#: per-subprocess slice caps (headline gets more; it is also retried once)
+#: first-sweep slice for the headline child (it is also retried)
 _HEADLINE_CAP_S = float(os.environ.get("CAE_BENCH_HEADLINE_CAP_S", "420"))
-_METRIC_CAP_S = float(os.environ.get("CAE_BENCH_METRIC_CAP_S", "240"))
 
 
 def _enable_cache():
@@ -681,6 +681,55 @@ def time_jax(fn, x, iters):
     return time.perf_counter() - t0
 
 
+def time_jax_apply_scan(forward, x, k, calls=2):
+    """Best-of-``calls`` seconds per apply, K applies per scan dispatch.
+
+    One executable and ONE dispatch per timed sample: ``forward`` runs K
+    times inside a ``lax.scan`` whose carry is the current output (every
+    iteration's full-resolution result is materialized into the carry
+    buffer — the loop cannot be dead-code-eliminated and the per-image
+    HBM write semantics of a real apply are preserved) and whose
+    per-step input is scaled by a step-distinct factor (the body is not
+    loop-invariant, so it cannot be hoisted out of the loop).  This is
+    the product apply's own dispatch shape (``BaseModel.apply`` = one
+    ``lax.map`` dispatch per dataset) and is immune to the tunnel's
+    per-call hazards (BASELINE.md "measurement isolation"): memoized
+    identical-handle calls (fresh host-built input per timed call) and
+    the post-second-executable dispatch tax that scales with call I/O
+    (paid once per dispatch, amortized over K applies to <2-3%) — which
+    is what lets MULTIPLE apply metrics share one child process
+    (``apply_suite``) instead of paying a fresh tunnel handshake each.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out_sd = jax.eval_shape(forward, x)
+    scales = 1.0 + jnp.arange(k, dtype=jnp.float32) * 1e-4
+
+    @jax.jit
+    def run(xx):
+        def step(_, s):
+            return forward(xx * s), None
+
+        y, _ = jax.lax.scan(
+            step, jnp.zeros(out_sd.shape, out_sd.dtype), scales
+        )
+        return y
+
+    # fresh host-built handle per call (hazard 1: identical handles are
+    # memoized by the tunnel)
+    x_host = np.asarray(x)
+    xs = [jnp.asarray(x_host + np.float32(1e-6 * (i + 1)))
+          for i in range(calls)]
+    _force(run(x))  # compile/load + warm
+    times = []
+    for x_i in xs:
+        t0 = time.perf_counter()
+        _force(run(x_i))
+        times.append(time.perf_counter() - t0)
+    return min(times) / k
+
+
 def time_jax_train_scan(run, carry, data, k_steps, calls=3):
     """Median seconds per train step from `calls` K-step scan dispatches."""
     import jax
@@ -797,6 +846,33 @@ _XLA_BATCH = int(os.environ.get("CAE_BENCH_XLA_BATCH", str(min(4096, _BATCH))))
 _SRCNN_BATCH = min(64, _BATCH)
 _GAN_BATCH = min(128, _BATCH)
 
+#: apply metrics measured inside the ONE ``apply_suite`` child (round 4):
+#: run #3 of the ordering experiment showed stalls are per-process
+#: (an endemic-stall session stalled EVERY fresh child ~300 s while the
+#: train_suite child's 13 sequential program loads inside one process
+#: never stalled), so the apply baselines share a process too —
+#: scan-dispatch timing makes that safe (see time_jax_apply_scan)
+_APPLY_SUITE = (
+    "apply_fused_scan",     # scan-timed twin of the headline (b8192)
+    "apply_xla_high",       # ConvAE XLA comparison baseline (b4096)
+    "apply_bf16",           # 1-pass bf16 XLA fast path (b4096)
+    "apply_bf16_weights",   # + bf16 weight storage (b4096)
+    "apply_unet",           # UNET pure-XLA baseline (b4096)
+    "apply_unet_fused",     # UNET fused Pallas tail (b8192)
+)
+#: applies per scan dispatch: sized so one dispatch runs 5-10 s of
+#: device work — the once-per-dispatch tunnel tax (<=~0.6 s at these
+#: I/O sizes) amortizes to <2-3%
+_APPLY_SCAN_K = {
+    "apply_fused_scan": 96,
+    "apply_xla_high": 96,
+    "apply_bf16": 192,
+    "apply_bf16_weights": 192,
+    "apply_unet": 96,
+    "apply_unet_fused": 96,
+}
+_APPLY_SCAN_K_OVERRIDE = int(os.environ.get("CAE_BENCH_APPLY_SCAN_K", "0"))
+
 
 def measure_one(metric: str) -> dict:
     """Measure a single metric in THIS process (must be called fresh).
@@ -814,18 +890,31 @@ def measure_one(metric: str) -> dict:
     scan), so one process for seven train metrics is both cheaper and
     safe — unlike the fast apply metrics, which stay one-per-process."""
     _enable_cache()
-    if metric == "train_suite":
+    if metric in ("train_suite", "apply_suite"):
+        # CAE_BENCH_HAVE: metrics the parent already harvested on an
+        # earlier sweep — a retried suite child only measures the gaps
         skip = {
-            m for m in os.environ.get("CAE_BENCH_SKIP", "").split(",") if m
+            m
+            for v in ("CAE_BENCH_SKIP", "CAE_BENCH_HAVE")
+            for m in os.environ.get(v, "").split(",") if m
         }
-        for m in _TRAIN_METRICS:
+        members = _TRAIN_METRICS if metric == "train_suite" else _APPLY_SUITE
+        for m in members:
             if m in skip:
                 continue
             t_m = time.monotonic()
-            got = measure_one(m)
+            try:
+                got = measure_one(m)
+            except Exception as exc:  # one bad member must not kill the rest
+                import traceback
+
+                print(f"# bench-child: {m} failed: {exc!r}",
+                      file=sys.stderr, flush=True)
+                traceback.print_exc()
+                continue
             got[m + "_measure_s"] = round(time.monotonic() - t_m, 1)
             print(json.dumps(got), flush=True)
-        return {"train_suite_done": 1}
+        return {metric + "_done": 1}
     from cae_tools_tpu.ops import convops
 
     spec = _spec()
@@ -880,43 +969,54 @@ def measure_one(metric: str) -> dict:
         k = max(8, _TRAIN_SCAN_STEPS // 4)  # heavy two-player step
         grun, gcarry, gdata = build_jax_gan_train(_GAN_BATCH, k)
         return {metric: _GAN_BATCH / time_jax_train_scan(grun, gcarry, gdata, k)}
-    if metric in ("apply_unet", "apply_unet_fused"):
-        convops.set_precision("high")
-        # fused = product default at the b8192 headline scale; the pure-XLA
-        # baseline at b4096 (saturated; 5x cheaper program load, see
-        # _XLA_BATCH)
-        ub = min(8192, _BATCH) if metric == "apply_unet_fused" else _XLA_BATCH
-        forward, x = build_jax_unet_forward(
-            ub, fused_tail=metric == "apply_unet_fused"
+    if metric in _APPLY_SUITE:
+        # scan-timed since round 4 (one dispatch per timed sample; see
+        # time_jax_apply_scan) so the whole set shares one apply_suite
+        # child.  fused twins at the b8192 headline scale; the pure-XLA
+        # comparison baselines at the saturated b4096 (5x cheaper warm
+        # program load, see _XLA_BATCH).
+        convops.set_precision(
+            "default" if metric.startswith("apply_bf16") else "high"
         )
-        return {metric: ub * iters / time_jax(forward, x, iters)}
-    convops.set_precision("default" if metric.startswith("apply_bf16") else "high")
-    kwargs = {
-        "apply_fused": {"fused_tail": True},
-        "apply_xla_high": {},
-        "apply_bf16": {},
-        "apply_bf16_weights": {"bf16_weights": True},
-    }[metric]
-    # the fused product path benches at the b8192 headline scale; the
-    # pure-XLA comparison baselines at the saturated b4096 (see _XLA_BATCH)
-    b = _BATCH if metric == "apply_fused" else _XLA_BATCH
-    forward, x = build_jax_forward(spec, _LATENT, _FC, b, **kwargs)
-    ips = b * iters / time_jax(forward, x, iters)
+        k = _APPLY_SCAN_K_OVERRIDE or _APPLY_SCAN_K[metric]
+        if metric in ("apply_unet", "apply_unet_fused"):
+            b = min(8192, _BATCH) if metric == "apply_unet_fused" else _XLA_BATCH
+            forward, x = build_jax_unet_forward(
+                b, fused_tail=metric == "apply_unet_fused"
+            )
+        else:
+            b = min(8192, _BATCH) if metric == "apply_fused_scan" else _XLA_BATCH
+            kwargs = {
+                "apply_fused_scan": {"fused_tail": True},
+                "apply_xla_high": {},
+                "apply_bf16": {},
+                "apply_bf16_weights": {"bf16_weights": True},
+            }[metric]
+            forward, x = build_jax_forward(spec, _LATENT, _FC, b, **kwargs)
+        return {metric: b / time_jax_apply_scan(forward, x, k)}
+    # the headline: the fused product path at b8192, single-call wall
+    # timing in a fresh process (the round-2/3 basis; keeps the headline
+    # series comparable — its scan-timed twin is apply_fused_scan)
+    assert metric == "apply_fused", metric
+    convops.set_precision("high")
+    forward, x = build_jax_forward(
+        spec, _LATENT, _FC, _BATCH, fused_tail=True
+    )
+    ips = _BATCH * iters / time_jax(forward, x, iters)
     return {metric: ips}
 
 
 def _metric_done(metric: str, rates: dict) -> bool:
-    if metric == "train_suite":
+    if metric in ("train_suite", "apply_suite"):
         skip = {
             m for m in os.environ.get("CAE_BENCH_SKIP", "").split(",") if m
         }
-        return "train_suite_done" in rates or all(
-            m in rates or m in skip for m in _TRAIN_METRICS
-        )
+        members = _TRAIN_METRICS if metric == "train_suite" else _APPLY_SUITE
+        return all(m in rates or m in skip for m in members)
     return metric in rates
 
 
-def _run_subprocess(metric: str, timeout_s: float) -> dict:
+def _run_subprocess(metric: str, timeout_s: float, have=()) -> dict:
     """Run one metric in a fresh process with a hard wall-clock slice.
 
     The child's stdout is read line-by-line as it appears: the moment the
@@ -934,6 +1034,8 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
 
     env = dict(os.environ)
     env["CAE_BENCH_ONLY"] = metric
+    if have:  # a retried suite child only measures the gaps
+        env["CAE_BENCH_HAVE"] = ",".join(sorted(have))
     # child stderr goes to a spool file: normally discarded, but when the
     # metric lands MISSING its tail is surfaced — a genuine code error
     # (ImportError, shape bug) must be distinguishable from a tunnel stall
@@ -945,6 +1047,10 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
     )
     rates = {}
     done = threading.Event()
+    # members the parent already holds count toward "suite done" (the
+    # child was told to skip them via CAE_BENCH_HAVE and will not
+    # re-emit them), but are NOT returned as this child's measurements
+    had = dict.fromkeys(have, 1.0)
 
     def reader():
         try:
@@ -955,7 +1061,7 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
                         rates.update(json.loads(line))
                     except json.JSONDecodeError:
                         continue
-                    if _metric_done(metric, rates):
+                    if _metric_done(metric, {**had, **rates}):
                         done.set()  # measured: stop paying for teardown
                         return
         except Exception:
@@ -971,7 +1077,7 @@ def _run_subprocess(metric: str, timeout_s: float) -> dict:
     proc.kill()
     proc.wait()
     t.join(timeout=5)
-    if not _metric_done(metric, rates):
+    if not _metric_done(metric, {**had, **rates}):
         try:
             err_spool.seek(0)
             tail = [ln.rstrip() for ln in err_spool.read().splitlines()
@@ -1009,39 +1115,36 @@ _TRAIN_METRICS = (
     "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
 )
 
-#: metrics in priority order; the first is the headline.  Apply metrics
-#: are one-per-process (dispatch-tax isolation); train metrics ride the
-#: suite child.
+#: metrics in priority order; the first is the headline.  Round-4 shape:
+#: THREE children total.  The round-3 artifact skipped 5 apply metrics
+#: because each ran in its own fresh process and the per-process tunnel
+#: setup is where stalls concentrate (measured: an endemic-stall session
+#: stalled EVERY fresh child ~300 s while the train_suite child's 13
+#: sequential warm program loads inside one process never stalled).  So
+#: the apply baselines now share one ``apply_suite`` child, made safe by
+#: scan-dispatch timing (time_jax_apply_scan amortizes the
+#: post-second-executable dispatch tax to <2-3%).  Only the headline
+#: keeps its dedicated first-executable fresh process: its single-call
+#: wall timing is the round-2/3-comparable series.
 _METRICS = (
-    # Round-4 ordering (the round-3 artifact skipped every metric queued
-    # AFTER train_suite): the apply children are small and cheap (~70 s
-    # warm at b4096, ~21 s for the fused b8192 paths) so they run right
-    # after the headline under a tight per-child cap (_FAST_APPLY_CAP_S)
-    # that kills a stalled child quickly — tunnel stalls are transient,
-    # and the sweep-2 retry usually lands the metric for another ~70 s.
-    # train_suite goes last with whatever budget remains (good-day total
-    # ~880 s of the 1000 s budget); if a stall truncates it, the loss
-    # falls on its r3-recorded tail members, not on the five comparison
-    # baselines the round-3 verdict flagged.
-    "apply_fused",
-    "apply_xla_high",    # ConvAE XLA comparison baseline (b4096)
-    "apply_bf16",        # 1-pass bf16 XLA fast path (b4096)
-    "apply_bf16_weights",  # + bf16 weight storage (b4096)
-    "apply_unet",        # UNET pure-XLA apply (the fused tail's baseline)
-    "apply_unet_fused",  # UNET product-default apply (fused Pallas tail)
-    "train_suite",
+    "apply_fused",   # headline: fused product apply, fresh process
+    "apply_suite",   # all apply baselines + fused twins, one child
+    "train_suite",   # all train metrics, one child
 )
-#: per-child slice for the non-headline apply children: warm load+measure
-#: is ~70 s at b4096 / ~21 s fused-b8192; a child past 130 s is stalled —
-#: kill it fast and let the retry sweep have a cheap second shot
-_FAST_APPLY_CAP_S = float(os.environ.get("CAE_BENCH_FAST_APPLY_CAP_S", "130"))
+#: slice for the apply_suite child: 6 members × (warm program load 20-60 s
+#: + one or two 5-10 s scan dispatches); retries are capped per missing
+#: member instead
+_APPLY_SUITE_CAP_S = float(os.environ.get("CAE_BENCH_APPLY_SUITE_CAP_S", "420"))
+#: per-missing-member retry slice (warm load + measure is 25-70 s)
+_RETRY_PER_MEMBER_S = float(os.environ.get("CAE_BENCH_RETRY_PER_MEMBER_S", "130"))
 _ALL_KEYS = ("apply_fused", "train_convae_fused", "train_convae",
              "train_convae_fused_bf16",
              "train_unet_fused", "train_unet_fused_bf16", "train_unet",
              "train_unetres_fused", "train_unetres", "train_varae",
              "train_convae_bf16", "train_srcnn", "train_gan",
              "apply_unet_fused", "apply_unet",
-             "apply_xla_high", "apply_bf16", "apply_bf16_weights")
+             "apply_xla_high", "apply_bf16", "apply_bf16_weights",
+             "apply_fused_scan")
 
 
 def _build_result(rates, torch_stats, elapsed_s):
@@ -1094,6 +1197,7 @@ def _build_result(rates, torch_stats, elapsed_s):
         "train_gan": "train_gan_images_per_sec",
         "apply_unet_fused": "apply_unet_fused_images_per_sec",
         "apply_unet": "apply_unet_images_per_sec",
+        "apply_fused_scan": "apply_fused_scan_images_per_sec",
     }
     for key, name in names.items():
         if key in rates:
@@ -1158,41 +1262,44 @@ def main():
     skip = {
         m for m in os.environ.get("CAE_BENCH_SKIP", "").split(",") if m
     }
-    def sweep_metrics(sweep):
-        if sweep == 0:
-            return _METRICS
-        # retry pass: anything still missing; a partially-harvested
-        # retry pass: apply children first (the round-3 skip victims),
-        # then any missing train-suite members individually
-        out = [m for m in _METRICS if m != "train_suite"]
-        out.extend(_TRAIN_METRICS)
-        return tuple(out)
+
+    def suite_members(metric):
+        if metric == "train_suite":
+            return _TRAIN_METRICS
+        if metric == "apply_suite":
+            return _APPLY_SUITE
+        return (metric,)
 
     for sweep in range(3):
-        for i, metric in enumerate(sweep_metrics(sweep)):
+        for metric in _METRICS:
             if _metric_done(metric, rates) or metric in skip:
                 continue
+            missing = [m for m in suite_members(metric)
+                       if m not in rates and m not in skip]
             if metric == "train_suite":
                 # one child, all train metrics scan-timed: most of its
                 # slice is per-graph program load; results stream out as
-                # lines, so a truncated child still lands its early members
-                cap = max(_HEADLINE_CAP_S, 0.65 * _BUDGET_S)
-            elif metric == "apply_fused" and sweep == 0:
+                # lines, so a truncated child still lands its early
+                # members.  First pass gets the bulk of the budget;
+                # retries are sized to what's actually missing.
+                cap = max(_HEADLINE_CAP_S, 0.65 * _BUDGET_S) if sweep == 0 \
+                    else _RETRY_PER_MEMBER_S * len(missing)
+            elif metric == "apply_suite":
+                cap = _APPLY_SUITE_CAP_S if sweep == 0 \
+                    else _RETRY_PER_MEMBER_S * len(missing)
+            elif sweep == 0:
                 # the headline must land even through a ~300 s tunnel
                 # stall: generous first slice
                 cap = _HEADLINE_CAP_S
-            elif metric.startswith("apply_"):
-                # small warm programs: kill a stalled child fast, retry
-                # cheap (see _FAST_APPLY_CAP_S).  The b8192 fused children
-                # (normally ~21-25 s) get 1.5x: observed stalls resolve in
-                # 85-95 s more often than the b4096 slice allows for them
-                cap = _FAST_APPLY_CAP_S * (1.5 if "fused" in metric else 1.0)
             else:
-                cap = _METRIC_CAP_S
+                cap = _RETRY_PER_MEMBER_S * 1.5  # b8192 fused warm ~25 s
             if remaining() < 90:
                 break
+            have = [m for m in suite_members(metric) if m in rates]
             t_m = time.monotonic()
-            got = _run_subprocess(metric, min(cap, max(60.0, remaining() - 20)))
+            got = _run_subprocess(
+                metric, min(cap, max(60.0, remaining() - 20)), have=have
+            )
             rates.update(got)
             print(
                 f"# bench: {metric} "

@@ -55,3 +55,27 @@ def test_bench_emits_parseable_headline_record():
     assert final["headline_path"] in ("fused_pallas_tail", "xla_high")
     assert final["baseline_torch_cpu_images_per_sec"] > 0
     assert final["vs_baseline"] > 0
+
+
+def test_bench_metric_registry_consistent():
+    """Suite membership, _ALL_KEYS, and the result-name table must agree.
+
+    A metric missing from _ALL_KEYS would never be reported as skipped; a
+    metric missing from _build_result's name table would be measured and
+    then silently dropped from the record.  Both are exactly the drift
+    that cost round 3 its comparison baselines."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    members = (
+        {"apply_fused"} | set(bench._APPLY_SUITE) | set(bench._TRAIN_METRICS)
+    )
+    assert members == set(bench._ALL_KEYS)
+
+    rates = {k: 123.0 for k in bench._ALL_KEYS}
+    rec = bench._build_result(rates, (1.0, 0.0, 1.0, 0.0), 1.0)
+    assert rec["skipped"] == []
+    assert rec["value"] == 123.0  # headline = apply_fused
+    reported = sum(1 for v in rec.values() if v == 123.0)
+    # every measured metric must appear in the record under some name
+    assert reported >= len(bench._ALL_KEYS), rec

@@ -218,6 +218,20 @@ def test_train_cae_disk_streaming_end_to_end(tmp_path, capsys):
 _RSS_CHILD = r"""
 import json, os, resource, sys
 sys.path.insert(0, os.environ["CAE_REPO"])
+
+def peak_rss_kb():
+    # Linux keeps ru_maxrss in signal_struct, which SURVIVES execve: a
+    # child forked from a multi-GB pytest parent inherits the parent's
+    # high-water mark and both modes report the same bogus peak.  VmHWM
+    # is per-mm and reset by exec, so it measures this process alone.
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
 import numpy as np
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
@@ -263,7 +277,7 @@ if mode == "stream":
 os.makedirs(argv[argv.index("--model-folder") + 1], exist_ok=True)
 tc.main(argv)
 print(json.dumps({
-    "peak_rss_kb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss,
+    "peak_rss_kb": peak_rss_kb(),
     "dataset_bytes": dataset_bytes,
     "mode": mode,
 }))

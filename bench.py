@@ -1210,6 +1210,17 @@ def _build_result(rates, torch_stats, elapsed_s):
         result["train_convae_fused_vs_torch_cpu"] = round(
             rates["train_convae_fused"] / torch_train_ips, 2
         )
+    # fused-vs-XLA ratios from same-method (scan-timed) pairs: the
+    # headline `value` is single-call wall timing and must NOT be
+    # ratioed against the scan-timed baselines
+    for name, num, den in (
+        ("apply_fused_vs_xla_high", "apply_fused_scan", "apply_xla_high"),
+        ("apply_unet_fused_vs_xla", "apply_unet_fused", "apply_unet"),
+        ("train_convae_fused_vs_xla", "train_convae_fused", "train_convae"),
+        ("train_unet_fused_vs_xla", "train_unet_fused", "train_unet"),
+    ):
+        if rates.get(num) and rates.get(den):
+            result[name] = round(rates[num] / rates[den], 2)
     return result
 
 

@@ -87,26 +87,49 @@ def main():
         dev_pids = set(proc_names)
     print(f"# processes: {proc_names}; device pids: {sorted(dev_pids)}")
 
-    by_name = defaultdict(float)
-    total = 0.0
+    # device traces carry two nested lanes: "XLA Modules" (one event per
+    # executable run, e.g. jit_forward) and "XLA Ops" (the HLO ops INSIDE
+    # those executables).  Summing both double-counts; device-side img/s
+    # must come from the module lane, and per-op shares from the op lane.
+    thread_names = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            thread_names[(ev["pid"], ev.get("tid"))] = (
+                ev.get("args", {}).get("name", "")
+            )
+
+    by_name = defaultdict(lambda: [0.0, 0])  # name -> [dur_us, count]
+    module_by_name = defaultdict(lambda: [0.0, 0])
     for ev in events:
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
             continue
+        lane = thread_names.get((ev["pid"], ev.get("tid")), "")
         dur = float(ev.get("dur", 0.0))  # microseconds
-        by_name[ev.get("name", "?")] += dur
-        total += dur
+        tgt = module_by_name if "module" in lane.lower() else by_name
+        tgt[ev.get("name", "?")][0] += dur
+        tgt[ev.get("name", "?")][1] += 1
 
     n_imgs = batch * n_calls
-    if total <= 0.0:
+    if not module_by_name and not by_name:
         print("# no duration events on the selected lanes")
         return
-    print(f"# device-lane events: {total / 1e3:.2f} ms total over {n_calls} "
-          f"calls -> {total / n_calls / 1e3:.3f} ms/batch, "
-          f"{n_imgs / (total / 1e6):,.0f} img/s device-side")
-    print(f"{'op':60s} {'ms total':>10s} {'us/img':>8s} {'%':>6s}")
-    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{name[:60]:60s} {dur / 1e3:10.3f} {dur / n_imgs:8.3f} "
-              f"{100 * dur / total:6.1f}")
+    print("# module lane (per-executable device time):")
+    fwd_us = 0.0
+    for name, (dur, cnt) in sorted(
+        module_by_name.items(), key=lambda kv: -kv[1][0]
+    ):
+        print(f"#   {name[:52]:52s} {dur / 1e3:10.3f} ms  x{cnt}")
+        if "forward" in name:
+            fwd_us += dur
+    if fwd_us:
+        print(f"# forward executable: {fwd_us / n_calls / 1e3:.3f} ms/batch "
+              f"-> {n_imgs / (fwd_us / 1e6):,.0f} img/s device-side")
+    op_total = sum(d for d, _ in by_name.values())
+    print(f"# op lane: {op_total / 1e3:.2f} ms total over {n_calls} calls")
+    print(f"{'op':52s} {'ms total':>10s} {'x':>4s} {'us/img':>8s} {'%':>6s}")
+    for name, (dur, cnt) in sorted(by_name.items(), key=lambda kv: -kv[1][0])[:25]:
+        print(f"{name[:52]:52s} {dur / 1e3:10.3f} {cnt:4d} {dur / n_imgs:8.3f} "
+              f"{100 * dur / op_total:6.1f}")
 
 
 if __name__ == "__main__":

@@ -96,7 +96,14 @@ def build_jax_forward(spec, latent, fc, batch, fused_tail=False,
         ep, es, dp, ds = cast_params_bf16((ep, es, dp, ds))
 
     if fused_tail:
-        # the TPU product-default apply path: fused Pallas decoder tail
+        # the TPU product-default apply path, product-exact form: fused
+        # Pallas decoder tail with the output denormalisation affine
+        # folded into the kernel's final activation and native NCHW out
+        # (ConvAEModel._forward_denorm_nchw_p).  Post-fusion trace
+        # (BASELINE.md round 4): the NHWC bench form paid a jit ROOT
+        # relayout copy (copy.6, 14% of device time) that the product
+        # path never executes — nchw_out=True makes the kernel output
+        # the ROOT directly.
         from cae_tools_tpu.ops.pallas.decoder_kernel import (
             decoder_apply_fused_tail,
         )
@@ -107,7 +114,8 @@ def build_jax_forward(spec, latent, fc, batch, fused_tail=False,
         def forward(x):
             z, _ = enc.apply(ep, es, x, train=False)
             return decoder_apply_fused_tail(
-                dec, dp, ds, z, interpret=interpret
+                dec, dp, ds, z, interpret=interpret,
+                denorm=(275.0, 30.0), nchw_out=True,
             )
 
     else:
@@ -582,11 +590,15 @@ def build_jax_unet_forward(batch, fused_tail=False):
 
         interpret = jax.default_backend() != "tpu"
 
+        # product-exact form (UNETModel apply, unet_model.py:216): fused
+        # denorm affine + native NCHW output — avoids the jit ROOT
+        # relayout copy the NHWC bench form paid (BASELINE.md round 4)
         @jax.jit
         def forward(x):
             (z, skips), _ = enc.apply(ep, es, x, False)
             return unet_decoder_apply_fused_tail(
-                dec, dp, ds, z, skips, interpret=interpret
+                dec, dp, ds, z, skips, interpret=interpret,
+                denorm=(275.0, 30.0), nchw_out=True,
             )
 
     else:

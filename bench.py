@@ -1183,7 +1183,10 @@ def _build_result(rates, torch_stats, elapsed_s):
         "train_varae_batch": _VARAE_BATCH,
         "train_srcnn_batch": _SRCNN_BATCH,
         "train_gan_batch": _GAN_BATCH,
-        "apply_unet_batch": min(8192, _BATCH),
+        # apply_unet (pure-XLA baseline) runs at _XLA_BATCH since round 4;
+        # only the fused twin keeps the b8192 headline scale
+        "apply_unet_batch": _XLA_BATCH,
+        "apply_unet_fused_batch": min(8192, _BATCH),
         "apply_xla_batch": _XLA_BATCH,
         "torch_train_batch": _TORCH_TRAIN_BATCH,
         "train_convae_torch_cpu_images_per_sec": round(torch_train_ips, 2),

@@ -33,12 +33,14 @@ from .. import native
 
 
 class ArrayDataset:
-    def __new__(cls, ds, *args, **kwargs):
+    def __new__(cls, ds=None, *args, **kwargs):
         # disk-backed path: a DiskStreamDataset passed where a raw
         # xarray-style dataset is expected configures itself and stands in
         # (same normalisation/spec/arrays_nhwc surface, lazy batches) —
         # this is what lets every model's train() run out-of-core without
-        # modification (data/diskstream.py)
+        # modification (data/diskstream.py).  ``ds`` defaults to None so
+        # the zero-arg ``cls.__new__(cls)`` that pickle/copy protocols use
+        # keeps working.
         from .diskstream import DiskStreamDataset
 
         if isinstance(ds, DiskStreamDataset):

@@ -171,9 +171,21 @@ class DiskStreamDataset:
                         f"variable {name} has inconsistent shape in {p}"
                     )
 
-        # case counts: every needed variable shares the leading dim
+        # case counts: every needed variable must share the leading dim —
+        # validated here, because the fixed-layout pread would otherwise
+        # return a *different variable's bytes* for the missing rows of an
+        # externally-written short variable (silent corruption), or fail
+        # mid-epoch with a raw short-read OSError
         lead_var = self.input_variable_names[0]
         counts = [f.n_rows(lead_var) for f in self.files]
+        for name in self._var_shapes:
+            for f, p, n_lead in zip(self.files, self.paths, counts):
+                if f.n_rows(name) != n_lead:
+                    raise ValueError(
+                        f"variable {name} has {f.n_rows(name)} rows in {p} "
+                        f"but {lead_var} has {n_lead}; all training "
+                        "variables must share the leading (case) dimension"
+                    )
         self._row_offsets = np.concatenate([[0], np.cumsum(counts)])
         self.n = int(self._row_offsets[-1])
 
@@ -218,13 +230,13 @@ class DiskStreamDataset:
     # -- pass 1: chunked stats scan ----------------------------------------
     @staticmethod
     def _scan_chunk(arr):
-        got = native.scan_f32(arr)
-        if got is not None:
-            return got
-        nan_count = int(np.isnan(arr).sum())
-        if nan_count == arr.size:
-            return float("nan"), float("nan"), nan_count
-        return float(np.nanmin(arr)), float(np.nanmax(arr)), nan_count
+        # one implementation of the normalisation-stats scan: delegate to
+        # ArrayDataset._scan (numpy SIMD — measured 2x the native scan on
+        # this single-core host; see its docstring) so the in-RAM and
+        # disk-streamed paths cannot drift
+        from .dataset import ArrayDataset
+
+        return ArrayDataset._scan(arr)
 
     def _scan_var(self, name):
         lo, hi, nans = np.inf, -np.inf, 0
@@ -348,8 +360,30 @@ class DiskStreamDataset:
         c = src.shape[1]
         dst[..., c_off:c_off + c] = norm.transpose(0, 2, 3, 1)
 
+    def _norm_idx(self, idx) -> np.ndarray:
+        """numpy-compatible row indexing: boolean masks and negative
+        indices behave exactly as they do on the in-RAM arrays
+        ``ArrayDataset.arrays_nhwc`` returns (the declared parity
+        surface); out-of-range rows raise IndexError instead of
+        surfacing as a raw pread OSError."""
+        idx = np.asarray(idx)
+        if idx.dtype == np.bool_:
+            if idx.shape != (self.n,):
+                raise IndexError(
+                    f"boolean mask of shape {idx.shape} does not match "
+                    f"dataset length {self.n}"
+                )
+            return np.nonzero(idx)[0].astype(np.int64)
+        idx = idx.astype(np.int64)
+        idx = np.where(idx < 0, idx + self.n, idx)
+        if idx.size and (idx.min() < 0 or idx.max() >= self.n):
+            raise IndexError(
+                f"row index out of range for dataset of length {self.n}"
+            )
+        return idx
+
     def _gather(self, kind, idx) -> np.ndarray:
-        idx = np.asarray(idx, dtype=np.int64)
+        idx = self._norm_idx(idx)
         b = idx.shape[0]
         if kind == "x":
             out = np.empty(

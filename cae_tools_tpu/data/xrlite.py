@@ -321,6 +321,14 @@ def _check_signature(path):
             "prefers them automatically — or convert the file first "
             "(e.g. `nccopy -k classic in.nc out.nc`)."
         )
+    if head[:4] == b"CDF\x05":
+        raise ValueError(
+            f"{path!s} is a netCDF3 64-bit-data (CDF-5) file. This "
+            "build's bundled netCDF backend (xrlite) reads classic and "
+            "64-bit-offset netCDF3 (CDF-1/CDF-2) only. Convert the file "
+            "first (e.g. `nccopy -k 64-bit-offset in.nc out.nc`) or "
+            "install xarray+netcdf4."
+        )
     raise ValueError(
         f"{path!s} is not a netCDF file (bad magic {head[:4]!r}); "
         "expected netCDF3 (CDF\\x01/CDF\\x02) or netCDF4/HDF5."

@@ -28,7 +28,8 @@ def test_bench_emits_parseable_headline_record():
         # budget small: headline + train metrics only, rest -> "skipped"
         CAE_BENCH_BUDGET_S="240",
         CAE_BENCH_HEADLINE_CAP_S="120",
-        CAE_BENCH_METRIC_CAP_S="60",
+        CAE_BENCH_APPLY_SUITE_CAP_S="60",
+        CAE_BENCH_RETRY_PER_MEMBER_S="30",
         # interpret-mode Pallas grads are minutes-slow on CPU; the fused
         # train metrics are covered by tests/test_train_tail.py instead.
         # srcnn/gan: full-res 256x256 conv stacks whose CPU compile alone

@@ -317,3 +317,83 @@ def test_disk_streaming_peak_rss_bounded(tmp_path):
     if saved_mb <= 0.5 * dataset_mb:
         saved_mb, peaks, dataset_mb = run_pair()
     assert saved_mb > 0.5 * dataset_mb, (peaks, dataset_mb)
+
+
+def test_diskstream_numpy_index_semantics(tmp_path):
+    """Boolean masks and negative indices behave exactly like numpy on the
+    in-RAM arrays (the declared parity surface); out-of-range rows raise
+    IndexError rather than a raw pread OSError."""
+    paths = _write_files(tmp_path, n_files=2, cases=5, with_aux=False)
+    merged = xrlite.open_mfdataset(paths, concat_dim="box", combine="nested")
+    ref = ArrayDataset(merged, ["lowres"], "hires")
+    x_ref, y_ref, _ = ref.arrays_nhwc()
+    dsd = DiskStreamDataset(paths).configure(["lowres"], "hires")
+    x, y, _ = dsd.arrays_nhwc()
+
+    mask = np.zeros(10, dtype=bool)
+    mask[[1, 4, 8]] = True
+    np.testing.assert_allclose(x[mask], x_ref[mask], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(y[mask], y_ref[mask], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(x[-1], x_ref[-1], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        x[np.array([-2, 0, -10])], x_ref[np.array([-2, 0, -10])],
+        rtol=0, atol=1e-6,
+    )
+    in_chw, out_chw, _, _ = dsd[-1]
+    np.testing.assert_allclose(
+        in_chw, x_ref[-1].transpose(2, 0, 1), rtol=0, atol=1e-6
+    )
+    with pytest.raises(IndexError):
+        x[np.array([10])]
+    with pytest.raises(IndexError):
+        x[np.array([-11])]
+    with pytest.raises(IndexError):
+        x[np.zeros(7, dtype=bool)]  # wrong-length mask
+
+
+def test_diskstream_mismatched_row_counts(tmp_path):
+    """A file whose output variable has fewer rows than the inputs must
+    fail at configure() time, not mid-epoch with a short-read OSError
+    (or, worse, silently serve another variable's bytes)."""
+    from scipy.io import netcdf_file
+
+    path = str(tmp_path / "short.nc")
+    f = netcdf_file(path, "w", version=2)
+    f.createDimension("box_in", 6)
+    f.createDimension("box_out", 4)
+    for d, n in (("y1", 4), ("x1", 4), ("y2", 8), ("x2", 8), ("c", 1)):
+        f.createDimension(d, n)
+    v_in = f.createVariable("lowres", "f", ("box_in", "c", "y1", "x1"))
+    v_in[:] = np.random.default_rng(0).random((6, 1, 4, 4)).astype(np.float32)
+    v_out = f.createVariable("hires", "f", ("box_out", "c", "y2", "x2"))
+    v_out[:] = np.random.default_rng(1).random((4, 1, 8, 8)).astype(np.float32)
+    f.close()
+    with pytest.raises(ValueError, match="leading"):
+        DiskStreamDataset([path]).configure(["lowres"], "hires")
+
+
+def test_arraydataset_pickle_roundtrip(tmp_path):
+    """pickle/deepcopy must keep working despite the __new__ dispatch hook
+    (protocol-2 reduce calls cls.__new__(cls) with no arguments)."""
+    import copy
+    import pickle
+
+    paths = _write_files(tmp_path, n_files=1, cases=4, with_aux=False)
+    ds = ArrayDataset(xrlite.open_dataset(paths[0]), ["lowres"], "hires")
+    x_ref, _, _ = ds.arrays_nhwc()
+    for clone in (pickle.loads(pickle.dumps(ds)), copy.deepcopy(ds)):
+        assert clone.get_normalisation_parameters() == \
+            ds.get_normalisation_parameters()
+        x, _, _ = clone.arrays_nhwc()
+        np.testing.assert_array_equal(x, x_ref)
+
+
+def test_cdf5_signature_is_actionable(tmp_path):
+    """CDF-5 (64-bit-data) inputs get a convert-or-install message, not
+    'bad magic'."""
+    p = tmp_path / "cdf5.nc"
+    p.write_bytes(b"CDF\x05" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="CDF-5"):
+        xrlite.open_dataset(str(p))
+    with pytest.raises(ValueError, match="CDF-5"):
+        NC3File(str(p))

@@ -198,8 +198,10 @@ class ConvAEModel(BaseModel):
         """Fused Pallas decoder tail on the apply path (TPU default).
 
         ``CAE_TPU_FUSED_DECODER=1|0`` overrides; geometry must satisfy
-        ``decoder_kernel.tail_start_index``.  Plain-f32 VPU math — output
-        is HIGHEST-precision grade independent of the MXU precision knob.
+        ``decoder_kernel.tail_start_index``.  Tap math is f32 VPU; the
+        parity-interleave matmuls follow the conv-precision ladder
+        (``decoder_kernel._ilv_mode`` — at the HIGH default the 2-pass
+        compensated interleave measures 1.3e-6 vs the XLA path).
         """
         choice = os.environ.get("CAE_TPU_FUSED_DECODER")
         if choice is not None and choice != "1":
@@ -253,9 +255,10 @@ class ConvAEModel(BaseModel):
         ``BaseModel._fused_tail_base_ok``; the final decoder stage must
         additionally satisfy ``train_tail.last_stage_eligible``.  Under a
         data-parallel mesh the kernel runs per batch shard via
-        ``shard_map`` (``train_tail._shard_map_batch``).  f32 kernel math,
-        so gradients are HIGHEST-grade regardless of the conv precision
-        knob.
+        ``shard_map`` (``train_tail._shard_map_batch``).  f32 VPU tap
+        math; the MXU interleave rides 1-pass bf16 input rounding —
+        deliberate for gradients (see the ``train_tail`` module
+        docstring), with loss-curve parity test-asserted vs XLA.
         """
         if not self._fused_tail_base_ok():
             return False

@@ -285,8 +285,9 @@ class UNET(BaseModel):
         output) and ``train_tail.last_stage_eligible`` geometry.  Under a
         data-parallel mesh the kernel runs per batch shard via
         ``shard_map``; meshes with a tensor-parallel "model" axis >1 keep
-        the XLA loss.  f32 kernel math, so gradients are HIGHEST-grade
-        regardless of the conv precision knob.
+        the XLA loss.  f32 VPU tap math; the MXU interleave rides 1-pass
+        bf16 input rounding — deliberate for gradients (see the
+        ``train_tail`` module docstring).
         """
         if not self._fused_tail_base_ok():
             return False

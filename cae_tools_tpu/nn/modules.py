@@ -821,9 +821,14 @@ class UNetDecoder:
         return params, state
 
     def apply_head(self, params, state, z, skips, train=False, rng=None,
-                   n_stages=None):
+                   n_stages=None, skip_final_bn_relu=False):
         """FC pyramid + decoder stages ``[0, n_stages)`` (default: every
         stage *except the final ConvT*).
+
+        ``skip_final_bn_relu`` (eval only): return the last stage's
+        pre-BatchNorm tensor so the fused apply tail can fold that
+        BN+ReLU into its kernel's input affine
+        (``ops/pallas/decoder_kernel._pre_affine_flat``).
 
         Returns ``(h, new_state)`` where ``h`` feeds the next stage — split
         out so the fused last-stage training kernels
@@ -885,6 +890,8 @@ class UNetDecoder:
                 h = jnp.concatenate([h, skip], axis=-1)
                 fp = params["fuse"][i]
                 h = conv2d(h, fp["w"]) + fp["b"]
+            if skip_final_bn_relu and not train and i == len(stages) - 1:
+                break
             h, ns = bn_apply(
                 params["bns"][i], state["bns"][i], h, train, axes=(0, 1, 2)
             )

@@ -18,9 +18,12 @@ multiply-adds per input channel.  Planes are re-interleaved by 0/1
 expansion-matrix matmuls on the MXU: TPUs have no strided vector store,
 ``pltpu.repeat`` tiles rather than element-repeats, and the sublane
 stack+reshape alternative measured *slower* than the matmuls on v5e
-(7.06 vs 5.21 us/img at batch 1024 — relayouts are not free).  All math
-is f32 (VPU taps, f32 MXU interleave), so outputs are *HIGHEST*-precision
-grade regardless of the global MXU precision flag.
+(7.06 vs 5.21 us/img at batch 1024 — relayouts are not free).  Tap math
+is f32 VPU; the interleave matmuls ride the MXU, whose input rounding
+follows the product's conv-precision ladder (see ``_ilv_mode`` —
+measured on a trained model: 8.7e-5 normalized at 1-pass bf16, 1.3e-6
+with the default 2-pass compensation, == Precision.HIGHEST's error at
+a third of its pass count).
 
 Weights enter the kernel flattened in SMEM (a few hundred scalars); BN
 running stats are folded into per-stage (w', b') outside the kernel
@@ -31,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -105,20 +109,72 @@ def _expand_mats(m: int, o: int):
     return e
 
 
-def _interleave_cols(p0, p1, f0, f1):
+#: Interleave-matmul precision ladder.  The 0/1 parity-expansion matmuls
+#: run on the MXU, which at DEFAULT (1-pass bf16) rounds the *plane
+#: values* to bf16 at its input even though the 0/1 matrix side is
+#: bf16-exact and accumulation is f32 (``preferred_element_type`` does
+#: not control input rounding).  Measured on a trained (mid-sigmoid)
+#: model: 1e-4 normalized output error vs the XLA path — 3 orders above
+#: interpret mode (6e-8); random-init bench weights saturate the sigmoid
+#: and masked it.  The fused apply therefore follows the product's own
+#: conv-precision ladder (``convops.set_precision``):
+#:   default  -> 1-pass dots (err ~1e-4, the 1-pass-bf16 class)
+#:   high     -> 2-pass bf16 error compensation on the plane operand
+#:               (hi = bf16(p), lo = p - hi; exact to 16 mantissa bits,
+#:               err ~2^-17 ~ 8e-6 worst case, measured below 1e-5 —
+#:               inside the HIGH parity budget at 1/3 the pass count of
+#:               Precision.HIGHEST)
+#:   highest  -> Precision.HIGHEST (multi-pass exact f32)
+#: ``CAE_TPU_ILV_PRECISION=default|compensated|high|highest`` overrides
+#: (resolved at trace time, like the conv knob).
+def _ilv_mode():
+    env = os.environ.get("CAE_TPU_ILV_PRECISION")
+    if env:
+        return env
+    from ...ops import convops
+
+    p = convops.get_precision()
+    if p == jax.lax.Precision.HIGHEST:
+        return "highest"
+    if p == jax.lax.Precision.HIGH:
+        return "compensated"
+    return "default"
+
+
+def _ilv_dot(a, b, ilv, plane):
+    """f32-accumulating MXU dot with the plane operand (``plane`` =
+    "lhs"|"rhs") protected per the interleave precision mode.
+
+    "high" aliases "compensated": Mosaic's dot lowering supports only
+    DEFAULT and HIGHEST precisions inside a Pallas kernel, and the
+    2-pass compensation measures 1.3e-6 on the trained-model probe —
+    the HIGH error class at 2 passes."""
+    kw = {"preferred_element_type": jnp.float32}
+    if ilv in ("compensated", "high"):
+        x = a if plane == "lhs" else b
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = x - hi
+        if plane == "lhs":
+            return jnp.dot(hi, b, **kw) + jnp.dot(lo, b, **kw)
+        return jnp.dot(a, hi, **kw) + jnp.dot(a, lo, **kw)
+    prec = {
+        "default": None,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[ilv]
+    return jnp.dot(a, b, precision=prec, **kw)
+
+
+def _interleave_cols(p0, p1, f0, f1, ilv="default"):
     """out[:, 2n+b] = p_b[:, n] via right-matmul with F_b = E_b^T."""
-    return jnp.dot(p0, f0, preferred_element_type=jnp.float32) + jnp.dot(
-        p1, f1, preferred_element_type=jnp.float32
-    )
+    return _ilv_dot(p0, f0, ilv, "lhs") + _ilv_dot(p1, f1, ilv, "lhs")
 
 
-def _interleave_rows(p0, p1, e0, e1):
-    return jnp.dot(e0, p0, preferred_element_type=jnp.float32) + jnp.dot(
-        e1, p1, preferred_element_type=jnp.float32
-    )
+def _interleave_rows(p0, p1, e0, e1, ilv="default"):
+    return _ilv_dot(e0, p0, ilv, "rhs") + _ilv_dot(e1, p1, ilv, "rhs")
 
 
-def _stage_fused(chans, w_ref, b_ref, w_off, b_off, geom, act, er_ref, fc_ref):
+def _stage_fused(chans, w_ref, b_ref, w_off, b_off, geom, act, er_ref,
+                 fc_ref, ilv="default"):
     """One ConvT stage on per-channel 2-D planes; returns output channels.
 
     ``chans``: list of (i_h, i_w) f32 arrays (input channels).
@@ -161,9 +217,11 @@ def _stage_fused(chans, w_ref, b_ref, w_off, b_off, geom, act, er_ref, fc_ref):
                     else jnp.zeros((m_h, m_w), jnp.float32)
                 )
         f0, f1 = fc_ref[0], fc_ref[1]
-        c0 = _interleave_cols(planes[(0, 0)], planes[(0, 1)], f0, f1)
-        c1 = _interleave_cols(planes[(1, 0)], planes[(1, 1)], f0, f1)
-        y = _interleave_rows(c0, c1, er_ref[0], er_ref[1]) + b_ref[b_off + co]
+        c0 = _interleave_cols(planes[(0, 0)], planes[(0, 1)], f0, f1, ilv)
+        c1 = _interleave_cols(planes[(1, 0)], planes[(1, 1)], f0, f1, ilv)
+        y = _interleave_rows(
+            c0, c1, er_ref[0], er_ref[1], ilv
+        ) + b_ref[b_off + co]
         if act == "relu":
             y = jnp.maximum(y, 0.0)
         elif act == "sigmoid":
@@ -172,17 +230,32 @@ def _stage_fused(chans, w_ref, b_ref, w_off, b_off, geom, act, er_ref, fc_ref):
     return out
 
 
-def _tail_kernel(x_ref, w_ref, b_ref, *refs, geoms, acts, denorm=False):
-    # refs = [d_ref?, er_0, fc_0, er_1, fc_1, ..., out_ref]
+def _tail_kernel(x_ref, w_ref, b_ref, *refs, geoms, acts, denorm=False,
+                 pre=False, ilv="default"):
+    # refs = [p_ref?, d_ref?, er_0, fc_0, er_1, fc_1, ..., out_ref]
+    cin0 = geoms[0][2]
+    if pre:
+        p_ref, *refs = refs
     if denorm:
         d_ref, *refs = refs
     out_ref = refs[-1]
-    chans = [x_ref[0, c] for c in range(geoms[0][2])]
+    if pre:
+        # the last XLA-head stage's bias+BatchNorm+ReLU, folded to a
+        # per-channel affine applied on the already-VMEM-resident input
+        # planes: saves the full-batch HBM round trip of the tail input
+        # that XLA's standalone elementwise fusion would pay (measured
+        # 8.1% of forward device time at b8192, BASELINE.md round 4)
+        chans = [
+            jnp.maximum(x_ref[0, c] * p_ref[c] + p_ref[cin0 + c], 0.0)
+            for c in range(cin0)
+        ]
+    else:
+        chans = [x_ref[0, c] for c in range(cin0)]
     w_off = b_off = 0
     for si, (geom, act) in enumerate(zip(geoms, acts)):
         chans = _stage_fused(
             chans, w_ref, b_ref, w_off, b_off, geom, act,
-            refs[2 * si], refs[2 * si + 1],
+            refs[2 * si], refs[2 * si + 1], ilv=ilv,
         )
         k_h, k_w, cin, cout = geom[:4]
         w_off += k_h * k_w * cin * cout
@@ -202,17 +275,21 @@ def _tail_kernel(x_ref, w_ref, b_ref, *refs, geoms, acts, denorm=False):
 # host-side wrapper
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("geoms", "acts", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("geoms", "acts", "interpret", "ilv")
+)
 def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False,
-              d_flat=None):
+              d_flat=None, p_flat=None, ilv="default"):
     n = x_nchw.shape[0]
     cin0 = geoms[0][2]
     i_h, i_w = geoms[0][4], geoms[0][5]
     cout_last = geoms[-1][3]
     o_h, o_w = geoms[-1][6], geoms[-1][7]
     has_denorm = d_flat is not None
+    has_pre = p_flat is not None
     kernel = functools.partial(
-        _tail_kernel, geoms=geoms, acts=acts, denorm=has_denorm
+        _tail_kernel, geoms=geoms, acts=acts, denorm=has_denorm,
+        pre=has_pre, ilv=ilv,
     )
 
     # per-stage 0/1 parity-expansion matrices (shared across the grid)
@@ -232,6 +309,8 @@ def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False,
             ),
         ]
 
+    p_args = (p_flat,) if has_pre else ()
+    p_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] if has_pre else []
     d_args = (d_flat,) if has_denorm else ()
     d_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)] if has_denorm else []
@@ -246,6 +325,7 @@ def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False,
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *p_specs,
             *d_specs,
             *ef_specs,
         ],
@@ -255,7 +335,7 @@ def _run_tail(x_nchw, w_flat, b_flat, geoms, acts, interpret=False,
         ),
         out_shape=jax.ShapeDtypeStruct((n, cout_last, o_h, o_w), jnp.float32),
         interpret=interpret,
-    )(x_nchw, w_flat, b_flat, *d_args, *ef_arrays)
+    )(x_nchw, w_flat, b_flat, *p_args, *d_args, *ef_arrays)
     return out
 
 
@@ -364,21 +444,29 @@ def decoder_apply_fused_tail(
     h = jax.nn.relu(dense(z, params["fc1"]["w"], params["fc1"]["b"]))
     h = dense(h, params["fc2"]["w"], params["fc2"]["b"])
     h = h.reshape(h.shape[0], y, x, c)
+    p_flat = None
     for i in range(start):
         spec = decoder.layers[i]
-        h = (
-            conv_transpose2d(
-                h,
-                params["convs"][i]["w"],
-                stride=spec.get_stride(),
-                output_padding=spec.get_output_padding(),
+        h = conv_transpose2d(
+            h,
+            params["convs"][i]["w"],
+            stride=spec.get_stride(),
+            output_padding=spec.get_output_padding(),
+        )
+        if i == start - 1:
+            # the LAST head stage's bias+BN+ReLU runs inside the kernel
+            # as a per-channel input affine (`pre`): XLA's standalone
+            # elementwise pass on the full-batch tail input measured
+            # 8.1% of forward device time at b8192 (BASELINE.md round 4)
+            p_flat = _pre_affine_flat(
+                params["convs"][i]["b"], params["bns"][i], state["bns"][i]
             )
-            + params["convs"][i]["b"]
-        )
-        h, _ = bn_apply(
-            params["bns"][i], state["bns"][i], h, False, axes=(0, 1, 2)
-        )
-        h = jax.nn.relu(h)
+        else:
+            h = h + params["convs"][i]["b"]
+            h, _ = bn_apply(
+                params["bns"][i], state["bns"][i], h, False, axes=(0, 1, 2)
+            )
+            h = jax.nn.relu(h)
 
     geoms, acts, w_flat, b_flat = fold_tail_params(
         decoder, params, state, start
@@ -386,9 +474,21 @@ def decoder_apply_fused_tail(
     x_nchw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
     out = _run_tail(
         x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret,
-        d_flat=_denorm_flat(denorm),
+        d_flat=_denorm_flat(denorm), p_flat=p_flat, ilv=_ilv_mode(),
     )
     return out if nchw_out else _nchw_to_nhwc(out)
+
+
+def _pre_affine_flat(bias, bn_p, bn_s):
+    """Fold (conv bias + eval BatchNorm) into flat (gamma..., beta...):
+    relu(x*gamma + beta) == relu(bn(x + bias)) — same fold as
+    ``fold_tail_params`` applies to the tail stages' weights."""
+    inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + BN_EPS)
+    g = inv * bn_p["scale"].astype(jnp.float32)
+    b = (
+        bias.astype(jnp.float32) - bn_s["mean"].astype(jnp.float32)
+    ) * g + bn_p["bias"].astype(jnp.float32)
+    return jnp.concatenate([g, b])
 
 
 def _denorm_flat(denorm):
@@ -474,9 +574,21 @@ def unet_decoder_apply_fused_tail(
     assert start is not None, "unsupported UNET decoder geometry for fused tail"
 
     # pre-kernel stages: the decoder's own eval head, limited to [0, start)
-    # (single implementation — this used to be a hand-maintained copy)
-    h, _ = decoder.apply_head(params, state, z, skips, train=False,
-                              n_stages=start)
+    # (single implementation — this used to be a hand-maintained copy).
+    # The last head stage's BN+ReLU folds into the kernel's input affine
+    # (its conv bias is already applied inside apply_head, before the
+    # attention/concat/fuse ops, so only the BN folds here).
+    p_flat = None
+    if start > 0:
+        h, _ = decoder.apply_head(params, state, z, skips, train=False,
+                                  n_stages=start, skip_final_bn_relu=True)
+        bn_s = state["bns"][start - 1]
+        p_flat = _pre_affine_flat(
+            jnp.zeros_like(bn_s["mean"]), params["bns"][start - 1], bn_s
+        )
+    else:
+        h, _ = decoder.apply_head(params, state, z, skips, train=False,
+                                  n_stages=start)
 
     final_act = "sigmoid" if decoder.final_sigmoid else "linear"
     geoms, acts, w_flat, b_flat = fold_tail_params(
@@ -485,6 +597,6 @@ def unet_decoder_apply_fused_tail(
     x_nchw = jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
     out = _run_tail(
         x_nchw, w_flat, b_flat, geoms, acts, interpret=interpret,
-        d_flat=_denorm_flat(denorm),
+        d_flat=_denorm_flat(denorm), p_flat=p_flat, ilv=_ilv_mode(),
     )
     return out if nchw_out else _nchw_to_nhwc(out)

@@ -34,10 +34,14 @@ padding rows reproduce torch's smaller-final-batch loss exactly) outside
 the kernel: the per-image cotangent arrives in ``dsse`` and simply scales
 each image's gradient.
 
-All math is f32 (VPU taps, f32 MXU matmuls), so gradients are
-HIGHEST-precision grade regardless of the global conv precision knob —
-the fused path is *more* accurate than the 3-pass bf16 HIGH default it
-replaces, not less.
+Tap math is f32 VPU; the interleave/de-interleave and upsample matmuls
+ride the MXU at 1-pass bf16 input rounding (the 0/1 matrices are
+bf16-exact; the value operand rounds — ~1e-4-class, measured on the
+apply twin, ``decoder_kernel._ilv_mode``).  That grade is deliberate
+for TRAINING: gradients at bf16-faithful rounding are indistinguishable
+to the optimizer (loss-curve parity is test-asserted vs the XLA loss),
+and the apply path — where the parity contract lives — uses the
+compensated interleave instead.
 
 Reference hot loop being outclassed: ``conv_ae_model.py:185-203`` (per-batch
 forward/backward of the torch decoder whose last stage materializes the

@@ -363,3 +363,46 @@ def test_unetres_predict_denorm_keeps_residual_head(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-3, rtol=0
     )
+
+
+def test_ilv_mode_follows_precision_ladder(monkeypatch):
+    """The interleave-matmul precision rides the product conv-precision
+    knob (TPU MXU input rounding, decoder_kernel._ilv_mode): default ->
+    1-pass, high -> 2-pass compensated, highest -> Precision.HIGHEST;
+    env override wins."""
+    from cae_tools_tpu.ops.pallas.decoder_kernel import _ilv_mode
+
+    monkeypatch.delenv("CAE_TPU_ILV_PRECISION", raising=False)
+    try:
+        convops.set_precision("default")
+        assert _ilv_mode() == "default"
+        convops.set_precision("high")
+        assert _ilv_mode() == "compensated"
+        convops.set_precision("highest")
+        assert _ilv_mode() == "highest"
+        monkeypatch.setenv("CAE_TPU_ILV_PRECISION", "compensated")
+        convops.set_precision("default")
+        assert _ilv_mode() == "compensated"
+    finally:
+        convops.set_precision("high")
+
+
+@pytest.mark.parametrize("mode", ["default", "compensated", "highest"])
+def test_ilv_modes_agree_in_interpret(monkeypatch, mode):
+    """All interleave modes are bit-identical under interpret-mode f32
+    math (the ladder only changes MXU input rounding on real hardware;
+    the compensated hi/lo split reconstructs exactly in f32)."""
+    monkeypatch.setenv("CAE_TPU_ILV_PRECISION", mode)
+    spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(256, 256), output_channels=1,
+    )
+    dec, dp, ds = _decoder_with_state(spec)
+    z = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 16)).astype(np.float32)
+    )
+    ref, _ = dec.apply(dp, ds, z, train=False)
+    out = decoder_apply_fused_tail(dec, dp, ds, z, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )

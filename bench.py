@@ -63,8 +63,18 @@ _BATCH = int(os.environ.get("CAE_BENCH_BATCH", "8192"))
 _ITERS = int(os.environ.get("CAE_BENCH_ITERS", "20"))
 #: total wall-clock budget; stay well inside the driver's ~20 min timeout
 _BUDGET_S = float(os.environ.get("CAE_BENCH_BUDGET_S", "1000"))
-#: first-sweep slice for the headline child (it is also retried)
-_HEADLINE_CAP_S = float(os.environ.get("CAE_BENCH_HEADLINE_CAP_S", "420"))
+#: first-sweep slice for the headline child (it is also retried).
+#: 240 s, not 420 (round-4 revision): a healthy cache-warm headline
+#: child lands in 25-150 s; setup stalls are per-process and mostly do
+#: NOT resolve by waiting (observed: 420 s slices burned with zero
+#: output while the very same graph measured in ~90 s minutes earlier),
+#: so a shorter first slice + retry sweeps buys more stall-lottery
+#: draws for the same budget.
+_HEADLINE_CAP_S = float(os.environ.get("CAE_BENCH_HEADLINE_CAP_S", "240"))
+#: first-output watchdog for the suite children: a healthy suite child
+#: streams its first member JSON line within ~60-180 s (warm program
+#: load + one scan dispatch); a setup-stalled child never prints.
+_FIRST_JSON_S = float(os.environ.get("CAE_BENCH_FIRST_JSON_S", "180"))
 
 
 def _enable_cache():
@@ -1028,7 +1038,8 @@ def _metric_done(metric: str, rates: dict) -> bool:
     return metric in rates
 
 
-def _run_subprocess(metric: str, timeout_s: float, have=()) -> dict:
+def _run_subprocess(metric: str, timeout_s: float, have=(),
+                    first_json_s: float | None = None) -> dict:
     """Run one metric in a fresh process with a hard wall-clock slice.
 
     The child's stdout is read line-by-line as it appears: the moment the
@@ -1037,7 +1048,16 @@ def _run_subprocess(metric: str, timeout_s: float, have=()) -> dict:
     the tunnel: result printed, exit hung >250 s) must not burn the rest
     of its slice.  On timeout the child is killed and whatever JSON lines
     it already printed are harvested, so a stalled second sub-metric
-    cannot take down an already-measured first one."""
+    cannot take down an already-measured first one.
+
+    ``first_json_s``: first-output watchdog.  Tunnel stalls concentrate
+    in per-process setup (handshake/init, BASELINE.md ordering run #3) —
+    a setup-stalled child prints NOTHING, while a healthy suite child
+    streams its first member line within ~60-180 s (warm load + one scan
+    dispatch).  Killing a child that has produced no JSON line by this
+    deadline converts a dead 400 s slice into budget for another stall-
+    lottery draw in a fresh process (stalls are per-process, so a retry
+    re-rolls)."""
     import subprocess
     import sys
     import threading
@@ -1083,7 +1103,19 @@ def _run_subprocess(metric: str, timeout_s: float, have=()) -> dict:
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
-    if not done.wait(timeout=timeout_s):
+    deadline = time.monotonic() + timeout_s
+    stalled = False
+    if first_json_s is not None and first_json_s < timeout_s:
+        if not done.wait(timeout=first_json_s) and not rates:
+            stalled = True
+            print(
+                f"# bench: {metric} produced no output in "
+                f"{first_json_s:.0f}s (setup stall), killed early for retry",
+                file=sys.stderr, flush=True,
+            )
+    if not stalled and not done.wait(
+        timeout=max(0.0, deadline - time.monotonic())
+    ):
         print(f"# bench: {metric} exceeded {timeout_s:.0f}s slice, killed",
               file=sys.stderr, flush=True)
     proc.kill()
@@ -1302,20 +1334,27 @@ def main():
                 continue
             missing = [m for m in suite_members(metric)
                        if m not in rates and m not in skip]
+            first_json = None
             if metric == "train_suite":
                 # one child, all train metrics scan-timed: most of its
                 # slice is per-graph program load; results stream out as
                 # lines, so a truncated child still lands its early
                 # members.  First pass gets the bulk of the budget;
-                # retries are sized to what's actually missing.
-                cap = max(_HEADLINE_CAP_S, 0.65 * _BUDGET_S) if sweep == 0 \
-                    else _RETRY_PER_MEMBER_S * len(missing)
+                # retries are sized to what's actually missing.  The
+                # first-output watchdog kills a setup-stalled child early
+                # (it would otherwise burn the whole slice printing
+                # nothing — observed 422 s, round-4 validation) so the
+                # remaining budget buys a fresh-process retry.
+                cap = max(2 * _HEADLINE_CAP_S, 0.55 * _BUDGET_S) \
+                    if sweep == 0 else _RETRY_PER_MEMBER_S * len(missing)
+                first_json = _FIRST_JSON_S
             elif metric == "apply_suite":
                 cap = _APPLY_SUITE_CAP_S if sweep == 0 \
                     else _RETRY_PER_MEMBER_S * len(missing)
+                first_json = _FIRST_JSON_S
             elif sweep == 0:
-                # the headline must land even through a ~300 s tunnel
-                # stall: generous first slice
+                # the headline's single JSON line IS its first output, so
+                # the cap doubles as its watchdog
                 cap = _HEADLINE_CAP_S
             else:
                 cap = _RETRY_PER_MEMBER_S * 1.5  # b8192 fused warm ~25 s
@@ -1324,7 +1363,8 @@ def main():
             have = [m for m in suite_members(metric) if m in rates]
             t_m = time.monotonic()
             got = _run_subprocess(
-                metric, min(cap, max(60.0, remaining() - 20)), have=have
+                metric, min(cap, max(60.0, remaining() - 20)), have=have,
+                first_json_s=first_json,
             )
             rates.update(got)
             print(

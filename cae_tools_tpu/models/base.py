@@ -217,12 +217,21 @@ class BaseModel:
         redundantly per model-axis device; DP shards ride shard_map), and
         no additional loss term (the fused SSE/stats forms compute the
         base loss only — UNET-family ``--additional-loss`` must keep the
-        XLA loss)."""
+        XLA loss).  ``--precision highest`` also keeps the XLA loss
+        unless explicitly overridden: the train kernels' MXU interleave
+        rides 1-pass bf16 input rounding (deliberate at the default
+        precision — see ``ops/pallas/train_tail``), which would silently
+        undercut an explicit maximum-accuracy request."""
         choice = os.environ.get("CAE_TPU_FUSED_TRAIN_TAIL")
         if choice is not None and choice != "1":
             return False
         if choice is None and jax.default_backend() != "tpu":
             return False
+        if choice is None:
+            from ..ops import convops
+
+            if convops.get_precision() == jax.lax.Precision.HIGHEST:
+                return False
         if self.mesh is not None and int(self.mesh.shape.get("model", 1)) > 1:
             return False
         if getattr(self, "additional_loss", None):

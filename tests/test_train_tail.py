@@ -772,3 +772,24 @@ def test_unet_fused_loss_bf16_interior_composes():
     # numeric tolerance is exercised on TPU (BASELINE.md, bench
     # train_*_fused_bf16 vs train_*_fused).
     np.testing.assert_allclose(float(v_bf16), float(v_f32), rtol=5e-2)
+
+
+def test_fused_train_tail_gated_off_at_highest_precision(monkeypatch):
+    """``--precision highest`` must keep the XLA train loss (the train
+    kernels' MXU interleave rides 1-pass bf16 input rounding, which would
+    silently undercut an explicit maximum-accuracy request); the env
+    override still forces the kernel."""
+    from cae_tools_tpu.models.conv_ae_model import ConvAEModel
+    from cae_tools_tpu.ops import convops
+
+    mt = ConvAEModel(encoded_dim_size=8, fc_size=16)
+    monkeypatch.delenv("CAE_TPU_FUSED_TRAIN_TAIL", raising=False)
+    # make the backend gate pass regardless of platform by forcing via env
+    # only in the positive case; the precision gate applies when unforced
+    try:
+        convops.set_precision("highest")
+        assert mt._fused_tail_base_ok() is False
+        monkeypatch.setenv("CAE_TPU_FUSED_TRAIN_TAIL", "1")
+        assert mt._fused_tail_base_ok() is True  # explicit override wins
+    finally:
+        convops.set_precision("high")

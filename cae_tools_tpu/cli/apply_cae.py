@@ -22,6 +22,8 @@ def build_parser():
                         help="conv/matmul precision: high (default) keeps <=1e-5 reference parity at 1.66x the speed of highest; default=1-pass bf16 fast path")
     parser.add_argument("--apply-dtype", choices=["float32", "bfloat16"], default="float32",
                         help="parameter storage dtype for inference; bfloat16 halves weight HBM traffic (pair with --precision default; output error stays at the 1-pass-bf16 level)")
+    parser.add_argument("--output-dtype", choices=["float32", "bfloat16"], default="float32",
+                        help="prediction output dtype on device; bfloat16 breaks the fused apply's f32 output-write floor and halves the device->host transfer (~2e-3 relative error — outside the <=1e-5 parity contract; the netCDF variable is widened back to float32)")
     parser.add_argument("--apply-chunk-size", type=int, default=None,
                         help="per-dispatch batch of the device apply loop (default: auto — large on TPU for occupancy, the model's batch size elsewhere)")
     add_devices_flag(parser)
@@ -43,6 +45,8 @@ def main(argv=None):
         mt.set_mesh(mesh)  # sharded DP apply over the mesh's "data" axis
     if args.apply_dtype != "float32":
         mt.set_apply_dtype(args.apply_dtype)
+    if args.output_dtype != "float32":
+        mt.set_output_dtype(args.output_dtype)
     if args.apply_chunk_size is not None:
         mt.apply_chunk_size = args.apply_chunk_size
 

@@ -24,6 +24,8 @@ def build_parser():
                         help="export a data-parallel graph: each dispatch batch is sharded over this many devices (batch size must divide evenly; the serving host must present at least this many devices)")
     parser.add_argument("--apply-dtype", choices=["float32", "bfloat16"], default="float32",
                         help="compute dtype baked into the exported forward (normalisation and outputs stay float32), mirroring apply_cae --apply-dtype")
+    parser.add_argument("--output-dtype", choices=["float32", "bfloat16"], default="float32",
+                        help="prediction output dtype baked into the exported graph; bfloat16 breaks the fused apply's f32 output-write floor for consumers that accept ~2e-3 relative error (outside the <=1e-5 parity contract)")
     return parser
 
 
@@ -41,6 +43,8 @@ def main(argv=None):
     mt = load_model(args.model_folder)
     if args.apply_dtype != "float32":
         mt.set_apply_dtype(args.apply_dtype)
+    if args.output_dtype != "float32":
+        mt.set_output_dtype(args.output_dtype)
     manifest = export_model(
         mt,
         args.output_folder,

@@ -211,6 +211,17 @@ def open_training_datasets(args, quiet=False):
             )
         train_ds = DiskStreamDataset(args.train_inputs)
         test_ds = DiskStreamDataset(args.test_inputs)
+        # the case-count print below reads n_rows(output_variable) before
+        # configure() gets a chance to validate variable names — check
+        # here so a mistyped --output-variable dies with the same
+        # actionable message the non-streaming path produces
+        for ds in (train_ds, test_ds):
+            for f, p in zip(ds.files, ds.paths):
+                if args.output_variable not in f.variables:
+                    raise SystemExit(
+                        f"variable {args.output_variable!r} not found "
+                        f"in {p}"
+                    )
         if not quiet:
             total = sum(os.path.getsize(p) for p in paths)
             print(

@@ -121,6 +121,7 @@ class DiskStreamDataset:
         self.paths = [str(p) for p in paths]
         self.files = [NC3File(p) for p in self.paths]
         self._configured = False
+        self._issued_views = 0
 
     # -- configuration (ArrayDataset ctor surface) ------------------------
     def configure(
@@ -137,6 +138,22 @@ class DiskStreamDataset:
             and output_variable_name == self.output_variable_name
             and mask_variable_name == self.mask_variable_name
         )
+        # singleton semantics: ArrayDataset(disk_ds, ...) returns THIS
+        # object, so DiskArray views handed out earlier read whatever
+        # flags a later configure sets.  A re-configure that flips the
+        # normalisation flags while views are outstanding would silently
+        # change their gather behavior — refuse it instead of aliasing.
+        if (
+            self._issued_views
+            and (normalise_in != self.normalise_in
+                 or normalise_out != self.normalise_out)
+        ):
+            raise ValueError(
+                "DiskStreamDataset is shared by reference: re-configuring "
+                "with different normalisation flags while DiskArray views "
+                "are outstanding would change their behavior; open a new "
+                "DiskStreamDataset for a differently-normalised view"
+            )
         self.normalise_in = normalise_in
         self.normalise_out = normalise_out
         if same_vars:
@@ -312,6 +329,7 @@ class DiskStreamDataset:
 
     def arrays_nhwc(self):
         """Lazy (x, y, m) NHWC views; indexing materializes batches."""
+        self._issued_views += 1
         x = DiskArray(
             self, "x", (self.n, self.input_y, self.input_x, self.input_chan)
         )

@@ -156,10 +156,17 @@ class NC3File:
 
         # per-record stride = sum of record variables' vsize (the spec
         # stores a single record var's vsize unpadded, so summing the
-        # stored fields handles the special case for free)
-        self.recsize = sum(
-            v.vsize for v in self.variables.values() if v.is_record
-        )
+        # stored fields handles the special case for free).  vsize is a
+        # 32-bit field; the spec reserves 2^32-1 as a sentinel for
+        # variables whose true size exceeds it — recompute those from the
+        # dtype/shape (padded to 4 bytes, unpadded when it is the sole
+        # record variable) instead of poisoning every record offset.
+        rec_vars = [v for v in self.variables.values() if v.is_record]
+        for v in rec_vars:
+            if v.vsize == 0xFFFFFFFF:
+                raw = v.row_nbytes
+                v.vsize = raw if len(rec_vars) == 1 else raw + ((-raw) % 4)
+        self.recsize = sum(v.vsize for v in rec_vars)
         if numrecs < 0 and self.recsize:  # STREAMING: infer from file size
             first = min(
                 v.begin for v in self.variables.values() if v.is_record

@@ -97,6 +97,24 @@ class BaseModel:
         self.apply_dtype = dtype
         self._apply_cache = {}
 
+    def set_output_dtype(self, dtype):
+        """Prediction *output* dtype for the apply path (None = float32).
+
+        ``"bfloat16"`` (opt-in, serving only) writes the prediction in
+        bf16 on device: the fused Pallas apply sits at its f32
+        output-write floor (BASELINE.md round 4 trace — the tail is 80.8%
+        of device time, HBM-write-bound), so halving the output bytes
+        breaks that floor, and the device->host transfer halves too.
+        Relative error ~2e-3 — OUTSIDE the <=1e-5 reference parity
+        contract; netCDF writes cast back to f32 on host (netCDF has no
+        bf16), so this changes throughput and rounding, not file formats.
+        """
+        self.output_dtype = dtype
+        self._apply_cache = {}
+
+    def _out_dtype(self) -> str:
+        return getattr(self, "output_dtype", None) or "float32"
+
     def _tp_place(self, params, state):
         """On a mesh with a populated "model" axis, shard large dense
         kernels over it (tensor parallelism — parallel/mesh.py:60); the
@@ -362,6 +380,9 @@ class BaseModel:
         # (~0.25 absolute at 292K)
         y = self._forward_eval_p(params, state, x).astype(jnp.float32)
         y = lo + y * rng
+        od = self._out_dtype()
+        if od != "float32":  # opt-in serving dtype (set_output_dtype)
+            y = y.astype(jnp.dtype(od))
         if y.shape[-1] == 1:  # NHWC -> NCHW is a free reshape
             return y.reshape(y.shape[0], 1, y.shape[1], y.shape[2])
         return jnp.transpose(y, (0, 3, 1, 2))
@@ -479,6 +500,10 @@ class BaseModel:
         else:
             lo, hi = 0.0, 1.0
         scores_nchw = self._predict_denorm_nchw(x, lo, hi)
+        if scores_nchw.dtype not in (np.float32, np.float64):
+            # reduced-precision output dtype (set_output_dtype): the device
+            # compute + transfer ran narrow; netCDF has no bf16, widen here
+            scores_nchw = scores_nchw.astype(np.float32)
         score_ds[prediction_variable] = xr.DataArray(
             scores_nchw,
             dims=(n_dimension, channel_dimension, y_dimension, x_dimension),

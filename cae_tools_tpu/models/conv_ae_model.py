@@ -246,7 +246,7 @@ class ConvAEModel(BaseModel):
         return decoder_apply_fused_tail(
             self.decoder, params["decoder"], state["decoder"], z,
             interpret=jax.default_backend() != "tpu",
-            denorm=(lo, rng), nchw_out=True,
+            denorm=(lo, rng), nchw_out=True, out_dtype=self._out_dtype(),
         )
 
     def _use_fused_train_tail(self):

@@ -213,7 +213,7 @@ class UNET(BaseModel):
         return unet_decoder_apply_fused_tail(
             self.decoder, params["decoder"], state["decoder"], z, skips,
             interpret=jax.default_backend() != "tpu",
-            denorm=(lo, rng), nchw_out=True,
+            denorm=(lo, rng), nchw_out=True, out_dtype=self._out_dtype(),
         )
 
     def _make_content_loss(self):

@@ -81,8 +81,11 @@ def bn_apply(params, state, x, train: bool, axes):
 def dropout(rng, x, rate, train: bool):
     # `rate` may be a traced scalar (the vmapped-HPO sweep puts
     # dropout_rate on the trials axis, hpo/vmap_search.py): only
-    # short-circuit on concrete values, and let bernoulli take a traced p
-    if not train or (isinstance(rate, (int, float)) and rate <= 0.0):
+    # short-circuit on concrete values (incl. numpy scalars), and let
+    # bernoulli take a traced p
+    if not train or (
+        not isinstance(rate, jax.core.Tracer) and float(rate) <= 0.0
+    ):
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)

@@ -95,9 +95,11 @@ class ServingModel:
             )
         n = x.shape[0]
         if n == 0:
+            import ml_dtypes  # noqa: F401  (registers bfloat16 with numpy)
+
             return np.zeros(
                 (0,) + tuple(self.manifest["output_shape_nchw"][1:]),
-                np.float32,
+                np.dtype(self.manifest.get("output_dtype", "float32")),
             )
         n_pad = -(-n // b) * b
         if n_pad != n:

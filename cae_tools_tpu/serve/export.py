@@ -264,6 +264,7 @@ def export_model(mt, out_folder, batch_size=None, platforms=None,
         "platforms": list(exported.platforms),
         "devices": int(exported.nr_devices),
         "apply_dtype": str(apply_dtype) if apply_dtype else "float32",
+        "output_dtype": mt._out_dtype(),
         "leaf_dtypes": leaf_dtypes,
         "jax_version": jax.__version__,
         "calling_convention_version": exported.calling_convention_version,

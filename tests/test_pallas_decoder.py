@@ -406,3 +406,69 @@ def test_ilv_modes_agree_in_interpret(monkeypatch, mode):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
     )
+
+
+def test_ilv_env_rejects_unknown_mode(monkeypatch):
+    """A typo'd CAE_TPU_ILV_PRECISION must fail with an actionable error
+    naming the variable, not a KeyError from inside the kernel trace."""
+    from cae_tools_tpu.ops.pallas.decoder_kernel import _ilv_mode
+
+    monkeypatch.setenv("CAE_TPU_ILV_PRECISION", "compensate")
+    with pytest.raises(ValueError, match="CAE_TPU_ILV_PRECISION"):
+        _ilv_mode()
+
+
+def test_fused_tail_bf16_output_dtype():
+    """Opt-in ``out_dtype="bfloat16"`` (serving): same values to bf16
+    rounding (~2e-3 rel — outside the parity contract), bf16 out buffer."""
+    spec = create_model_spec(
+        input_size=(16, 16), input_channels=1,
+        output_size=(256, 256), output_channels=1,
+    )
+    dec, dp, ds = _decoder_with_state(spec)
+    z = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 16)).astype(np.float32)
+    )
+    f32 = decoder_apply_fused_tail(
+        dec, dp, ds, z, interpret=True, denorm=(275.0, 30.0), nchw_out=True
+    )
+    b16 = decoder_apply_fused_tail(
+        dec, dp, ds, z, interpret=True, denorm=(275.0, 30.0), nchw_out=True,
+        out_dtype="bfloat16",
+    )
+    assert f32.dtype == jnp.float32 and b16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(b16, np.float32), np.asarray(f32), rtol=4e-3
+    )
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_model_output_dtype_bf16_apply(monkeypatch, tmp_path_factory, fused):
+    """``set_output_dtype("bfloat16")`` (apply_cae --output-dtype): the
+    netCDF prediction variable stays float32 (widened on host) and its
+    values match the f32 path to bf16 rounding on the Kelvin scale —
+    on both the XLA default path and the fused Pallas tail."""
+    import os as _os
+
+    from cae_tools_tpu.data.datagen import generate_spec_files
+    from cae_tools_tpu.models import ConvAEModel
+    from cae_tools_tpu.xrcompat import xr
+
+    root = str(tmp_path_factory.mktemp("odt"))
+    folder = generate_spec_files("circle", root, n=8, seed=13)
+    ds = xr.open_dataset(_os.path.join(folder, "train.nc"))
+    mt = ConvAEModel(batch_size=4, nr_epochs=1, encoded_dim_size=4, fc_size=8)
+    mt.train(["lowres"], "hires", ds, ds)
+    if fused:
+        monkeypatch.setenv("CAE_TPU_FUSED_DECODER", "1")
+        mt._apply_cache = {}
+        assert mt._use_fused_decoder()
+
+    mt.apply(ds, ["lowres"], "pred_f32")
+    mt.set_output_dtype("bfloat16")
+    mt.apply(ds, ["lowres"], "pred_b16")
+    a = np.asarray(ds["pred_f32"].values)
+    b = np.asarray(ds["pred_b16"].values)
+    assert b.dtype == np.float32  # widened for the netCDF write
+    scale = max(1.0, np.abs(a).max())
+    np.testing.assert_allclose(b / scale, a / scale, atol=4e-3)

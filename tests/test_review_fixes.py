@@ -138,3 +138,114 @@ def test_evaluate_uses_cached_pack(circle_data):
     ads.set_normalisation_parameters(ads.get_normalisation_parameters())
     x4, _, _ = ads.arrays_nhwc()
     assert x4 is not x3
+
+
+# ---- round-5 advisor fixes -------------------------------------------------
+
+def test_dropout_short_circuits_numpy_zero_rate():
+    """np.float32(0.0) dropout rate must short-circuit like the python
+    float (no bernoulli mask sampled into the traced graph)."""
+    x = jnp.ones((4, 4))
+    out = M.dropout(jax.random.PRNGKey(0), x, np.float32(0.0), train=True)
+    assert out is x  # identity return, not a keep=1.0 masked copy
+    out2 = M.dropout(jax.random.PRNGKey(0), x, np.float64(0.0), train=True)
+    assert out2 is x
+
+
+def test_diskstream_reconfigure_guard(tmp_path):
+    """ArrayDataset(disk_ds) returns the shared DiskStreamDataset: a
+    re-configure flipping normalisation flags while DiskArray views are
+    outstanding must be refused (aliasing trap), but a same-flag
+    re-configure stays allowed (the product's sequential reuse)."""
+    from cae_tools_tpu.data import xrlite
+    from cae_tools_tpu.data.dataset import ArrayDataset
+    from cae_tools_tpu.data.diskstream import DiskStreamDataset
+
+    rng = np.random.default_rng(0)
+    ds = xrlite.Dataset()
+    ds["lo"] = xrlite.DataArray(
+        rng.normal(280.0, 5.0, (4, 1, 6, 6)).astype(np.float32),
+        dims=("box", "c", "y", "x"),
+    )
+    ds["hi"] = xrlite.DataArray(
+        rng.normal(280.0, 5.0, (4, 1, 12, 12)).astype(np.float32),
+        dims=("box", "c2", "y2", "x2"),
+    )
+    p = str(tmp_path / "d.nc")
+    ds.to_netcdf(p)
+
+    disk = DiskStreamDataset([p])
+    a = ArrayDataset(disk, ["lo"], "hi")
+    assert a is disk
+    a.arrays_nhwc()  # views now outstanding
+    # same flags: fine (models re-wrap the dataset per phase)
+    ArrayDataset(disk, ["lo"], "hi")
+    with pytest.raises(ValueError, match="re-configuring"):
+        ArrayDataset(disk, ["lo"], "hi", normalise_out=False)
+
+
+def test_nc3_vsize_sentinel_recomputed(tmp_path):
+    """A record variable carrying the spec's 2^32-1 vsize sentinel must
+    read correctly (recomputed record size), not poison every offset."""
+    import struct
+
+    from cae_tools_tpu.data.nc3 import NC3File
+
+    # hand-built CDF-1 file: dims t (record), x=3; one float record var
+    # "v" whose vsize field carries the sentinel (true vsize = 12)
+    nrec, nx = 3, 3
+    header = b"CDF\x01" + struct.pack(">i", nrec)
+    header += struct.pack(">II", 0x0A, 2)            # dim list
+    header += struct.pack(">I", 1) + b"t\x00\x00\x00" + struct.pack(">I", 0)
+    header += struct.pack(">I", 1) + b"x\x00\x00\x00" + struct.pack(">I", nx)
+    header += struct.pack(">II", 0, 0)               # global atts ABSENT
+    header += struct.pack(">II", 0x0B, 1)            # var list
+    header += struct.pack(">I", 1) + b"v\x00\x00\x00"
+    header += struct.pack(">I", 2) + struct.pack(">II", 0, 1)  # dims (t, x)
+    header += struct.pack(">II", 0, 0)               # var atts ABSENT
+    header += struct.pack(">I", 5)                   # NC_FLOAT
+    header += struct.pack(">I", 0xFFFFFFFF)          # vsize sentinel
+    begin = len(header) + 4
+    header += struct.pack(">I", begin)
+    data = np.arange(nrec * nx, dtype=">f4").tobytes()
+    path = str(tmp_path / "sentinel.nc")
+    with open(path, "wb") as f:
+        f.write(header + data)
+
+    f = NC3File(path)
+    assert f.recsize == nx * 4
+    got = f.read_rows("v", np.array([2, 0]))
+    np.testing.assert_array_equal(
+        got, np.arange(nrec * nx, dtype=np.float32).reshape(nrec, nx)[[2, 0]]
+    )
+    f.close()
+
+
+def test_streaming_cli_missing_output_variable(tmp_path):
+    """--host-memory-budget path: a mistyped --output-variable must die
+    with the actionable variable-not-found error, not a raw KeyError."""
+    from cae_tools_tpu.cli.train_cae import build_parser, open_training_datasets
+    from cae_tools_tpu.data import xrlite
+
+    rng = np.random.default_rng(0)
+    ds = xrlite.Dataset()
+    ds["lowres"] = xrlite.DataArray(
+        rng.normal(280.0, 5.0, (4, 1, 6, 6)).astype(np.float32),
+        dims=("box", "c", "y", "x"),
+    )
+    ds["hires"] = xrlite.DataArray(
+        rng.normal(280.0, 5.0, (4, 1, 12, 12)).astype(np.float32),
+        dims=("box", "c2", "y2", "x2"),
+    )
+    p = str(tmp_path / "t.nc")
+    ds.to_netcdf(p)
+
+    args = build_parser().parse_args([
+        "--train-inputs", p, "--test-inputs", p,
+        "--model-folder", str(tmp_path / "model"),
+        "--input-variables", "lowres",
+        "--output-variable", "hirez",  # typo
+        "--host-memory-budget", "1",   # force the streaming route
+    ])
+    with pytest.raises(SystemExit, match="hirez"):
+        open_training_datasets(args, quiet=True)

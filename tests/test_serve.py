@@ -215,3 +215,31 @@ def test_export_bf16_apply_dtype(convae_folder, tmp_path):
     # Kelvin-scale outputs; bf16 weight rounding budget (BASELINE.md)
     np.testing.assert_allclose(out, ref, atol=0.5)
     assert float(np.abs(out - ref).max()) > 0.0  # really ran reduced precision
+
+
+def test_export_bf16_output_dtype(convae_folder, tmp_path):
+    """output_dtype=bfloat16 export (export_cae --output-dtype): the
+    exported graph returns bf16 predictions within ~2e-3 relative of the
+    f32 product apply (serving opt-in, outside the parity contract)."""
+    from cae_tools_tpu.serve import export_model
+
+    mt = load_model(convae_folder)
+    score_ds = _tiny_ds(n=4, seed=7)
+    mt.apply(score_ds, ["lowres"], "pred")
+    ref = np.asarray(score_ds["pred"].values)
+
+    mt.set_output_dtype("bfloat16")
+    bundle_folder = str(tmp_path / "bundle_bf16out")
+    man = export_model(mt, bundle_folder, batch_size=4)
+    assert man["output_dtype"] == "bfloat16"
+
+    sm = load_bundle(bundle_folder)
+    out = sm.predict(_raw_nhwc(score_ds))
+    assert str(out.dtype) == "bfloat16"
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32) / scale, ref / scale, atol=4e-3
+    )
+    # empty-batch shortcut honors the manifest dtype
+    empty = sm.predict(_raw_nhwc(_tiny_ds(n=1, seed=9))[:0])
+    assert empty.shape[0] == 0 and str(empty.dtype) == "bfloat16"

@@ -84,7 +84,7 @@ def _enable_cache():
 
 
 def build_jax_forward(spec, latent, fc, batch, fused_tail=False,
-                      bf16_weights=False):
+                      bf16_weights=False, bf16_out=False):
     """Closure-style jitted forward.
 
     NOTE (measured on the axon-tunneled TPU, 2026-08-16): repeated jit
@@ -119,13 +119,18 @@ def build_jax_forward(spec, latent, fc, batch, fused_tail=False,
         )
 
         interpret = jax.default_backend() != "tpu"
+        # bf16_out: the opt-in serving output dtype (apply_cae
+        # --output-dtype bfloat16) — halves the kernel's dominant HBM
+        # cost, the full-resolution output write (~2e-3 rel error,
+        # outside the parity contract)
+        out_dtype = "bfloat16" if bf16_out else "float32"
 
         @jax.jit
         def forward(x):
             z, _ = enc.apply(ep, es, x, train=False)
             return decoder_apply_fused_tail(
                 dec, dp, ds, z, interpret=interpret,
-                denorm=(275.0, 30.0), nchw_out=True,
+                denorm=(275.0, 30.0), nchw_out=True, out_dtype=out_dtype,
             )
 
     else:
@@ -826,6 +831,218 @@ def _spec():
     )
 
 
+# --------------------------------------------------------------------------
+# roofline columns: static analytic FLOPs/bytes per image per metric, so the
+# artifact itself says where each measured rate sits vs the v5e ceilings
+# (HBM-bound at X% of peak bandwidth / MXU at Y% of the precision-ladder
+# effective peak) instead of BASELINE.md prose.  Pure python (sizer only):
+# the parent process must never touch the tunnel.
+# --------------------------------------------------------------------------
+_V5E_HBM_GBPS = 819.0       # HBM bandwidth ceiling, TPU v5e
+_V5E_BF16_TFLOPS = 197.0    # MXU bf16 peak (f32 accumulate)
+#: conv passes per precision mode — effective MXU peak = bf16 peak / passes
+#: (HIGH = 3-pass bf16 error compensation, HIGHEST = 6-pass; convops.py)
+_PREC_PASSES = {"default": 1, "high": 3, "highest": 6}
+
+
+def _khw(layer):
+    k = layer.kernel_size
+    return (k, k) if isinstance(k, int) else tuple(k)
+
+
+def _convae_stats(spec, latent, fc):
+    """Per-image analytic stats of the ConvAE graph.
+
+    ``fwd_flops``: 2*k_h*k_w*cin*cout*(out pixels) per conv stage (input
+    pixels for ConvT — each input position contributes k^2 taps) + the FC
+    pyramid.  ``acts``: intermediate activation element counts in forward
+    order (excluding input/output).  ``tail_start``: first decoder stage
+    the fused Pallas tail covers — mirror of the kernel's
+    ``tail_start_index`` rule (stride 2, no output_padding, k <= 4,
+    cin <= 8; ops/pallas/decoder_kernel.py:49-52) without importing it.
+    """
+    flops = 0
+    acts = []
+    params = 0
+    for l in spec.input_layers:
+        ci, _, _ = l.input_dimensions
+        co, ho, wo = l.output_dimensions
+        kh, kw = _khw(l)
+        flops += 2 * kh * kw * ci * co * ho * wo
+        params += kh * kw * ci * co + 3 * co  # w + b + BN scale/bias
+        acts.append(co * ho * wo)
+    c, y, x = spec.input_layers[-1].output_dimensions
+    flops += 2 * (c * y * x * fc + fc * latent)
+    params += c * y * x * fc + fc + fc * latent + latent
+    acts += [fc, latent]
+    c2, y2, x2 = spec.output_layers[0].input_dimensions
+    flops += 2 * (latent * fc + fc * c2 * y2 * x2)
+    params += latent * fc + fc + fc * c2 * y2 * x2 + c2 * y2 * x2
+    acts += [fc, c2 * y2 * x2]
+    tail_start = None
+    for i, l in enumerate(spec.output_layers):
+        ci = l.input_dimensions[0]
+        kh, kw = _khw(l)
+        ok = (
+            l.stride == 2 and not l.output_padding
+            and max(kh, kw) <= 4 and ci <= 8
+        )
+        if ok:
+            if tail_start is None:
+                tail_start = i
+        else:
+            tail_start = None
+        co, ho, wo = l.output_dimensions
+        ii, hi, wi = l.input_dimensions
+        flops += 2 * kh * kw * ci * co * hi * wi
+        params += kh * kw * ci * co + 3 * co
+        if l is not spec.output_layers[-1]:
+            acts.append(co * ho * wo)
+    in_e = 16 * 16
+    out_e = spec.output_layers[-1].output_dimensions[1] * \
+        spec.output_layers[-1].output_dimensions[2]
+    # elems of each decoder stage OUTPUT (for the fused-tail byte model)
+    dec_out_elems = [
+        l.output_dimensions[0] * l.output_dimensions[1] * l.output_dimensions[2]
+        for l in spec.output_layers
+    ]
+    tail_in_e = (
+        spec.output_layers[tail_start].input_dimensions[0]
+        * spec.output_layers[tail_start].input_dimensions[1]
+        * spec.output_layers[tail_start].input_dimensions[2]
+        if tail_start is not None else None
+    )
+    return {
+        "fwd_flops": flops, "acts": acts, "params": params,
+        "in_e": in_e, "out_e": out_e, "tail_start": tail_start,
+        "dec_out_elems": dec_out_elems, "tail_in_e": tail_in_e,
+    }
+
+
+def _srcnn_stats():
+    """SRCNNRes (nn/modules.py:366): bilinear up + 1x1 base + 9-5-5
+    residual head at full output resolution, cin = cout = 1."""
+    px = 256 * 256
+    n1, n2 = 64, 32
+    flops = 2 * px * (81 * 1 * n1 + 25 * n1 * n2 + 25 * n2 * 1) \
+        + 2 * px * 1 * 1 * 2  # base 1x1 conv + residual add
+    acts = [px, px, n1 * px, n2 * px, px]  # up, base, h1, h2, res
+    return {"fwd_flops": flops, "acts": acts, "params": 81 * n1 + 25 * n1 * n2
+            + 25 * n2 + n1 + n2 + 2, "in_e": 16 * 16, "out_e": px}
+
+
+def _roofline_rows(rates):
+    """metric -> roofline dict for every measured metric with a sound
+    analytic model.  Byte models (f32 = 4 B unless noted):
+
+    * apply XLA: in + out + 2x every intermediate activation (each one is
+      written by its producer fusion and read by its consumer).
+    * apply fused: tail-stage activations never reach HBM — in + out +
+      2x encoder/FC/head acts + the tail input (read once).
+    * train: fwd writes + bwd reads of every activation (2 round trips =
+      4x acts) + x + 2x output/target + 8x params (grad + adam moments)
+      amortized over the batch.
+    * train fused tail: the final stage's output, sigmoid residual and
+      loss-grad chain stay in VMEM — drop that stage's 4x round trip and
+      one output read (the kernel reads y once).
+
+    UNET rows reuse the ConvAE-spec conv core (same auto spec; skip
+    concat/attention/Pearson extras excluded — noted in "model"), so
+    their fractions are lower bounds.  train_gan has no sound static
+    model and gets no row.  MXU fraction uses the precision ladder's
+    effective peak (_PREC_PASSES); MS-SSIM FLOPs (VarAE) are excluded.
+    """
+    s = _convae_stats(_spec(), _LATENT, _FC)
+    f32 = 4
+    sum_acts = sum(s["acts"])
+    head_acts = sum(s["acts"]) - sum(s["dec_out_elems"][s["tail_start"]:-1]) \
+        if s["tail_start"] is not None else sum_acts
+    ae_xla_bytes = f32 * (s["in_e"] + s["out_e"] + 2 * sum_acts)
+    ae_fused_bytes = f32 * (s["in_e"] + s["out_e"] + 2 * head_acts)
+    last_out = s["dec_out_elems"][-1]
+
+    def train_bytes(batch, fused=False, out_bytes=f32):
+        acts4 = 4 * (sum_acts + last_out)
+        if fused:
+            acts4 -= 4 * last_out  # final stage output never hits HBM
+        per_img = f32 * (s["in_e"] + 2 * s["out_e"]) + f32 * acts4
+        return per_img + 8 * f32 * s["params"] / batch
+
+    fwd = s["fwd_flops"]
+    sr = _srcnn_stats()
+    sr_train_bytes = f32 * (sr["in_e"] + 2 * sr["out_e"]
+                            + 4 * sum(sr["acts"])) \
+        + 8 * f32 * sr["params"] / _SRCNN_BATCH
+    rows = {
+        # metric: (flops/img, bytes/img, passes, model note)
+        "apply_fused": (fwd, ae_fused_bytes, 3, "convae fused-tail apply"),
+        "apply_fused_scan": (fwd, ae_fused_bytes, 3, "convae fused-tail apply"),
+        "apply_fused_bf16out": (
+            fwd, ae_fused_bytes - 2 * s["out_e"], 3,
+            "convae fused-tail apply, bf16 output write"),
+        "apply_xla_high": (fwd, ae_xla_bytes, 3, "convae XLA apply"),
+        "apply_bf16": (fwd, ae_xla_bytes, 1, "convae XLA apply, 1-pass bf16"),
+        "apply_bf16_weights": (
+            fwd, ae_xla_bytes, 1, "convae XLA apply, bf16 weights"),
+        "apply_unet": (
+            fwd, ae_xla_bytes, 3, "conv core only (skips/attention excl.)"),
+        "apply_unet_fused": (
+            fwd, ae_fused_bytes, 3, "conv core only (skips/attention excl.)"),
+        "train_convae": (
+            3 * fwd, train_bytes(_TRAIN_BATCH), 3, "convae train step"),
+        "train_convae_bf16": (
+            3 * fwd, train_bytes(_TRAIN_BATCH), 1, "convae train, 1-pass bf16"),
+        "train_convae_fused": (
+            3 * fwd, train_bytes(_TRAIN_BATCH, fused=True), 3,
+            "convae train, fused last stage"),
+        "train_convae_fused_bf16": (
+            3 * fwd, train_bytes(_TRAIN_BATCH, fused=True), 1,
+            "convae train, fused last stage + 1-pass bf16 interior"),
+        "train_unet": (
+            3 * fwd, train_bytes(_UNET_BATCH), 3,
+            "conv core only (skips/attention/Pearson excl.)"),
+        "train_unet_fused": (
+            3 * fwd, train_bytes(_UNET_BATCH, fused=True), 3,
+            "conv core only (skips/attention/Pearson excl.)"),
+        "train_unet_fused_bf16": (
+            3 * fwd, train_bytes(_UNET_BATCH, fused=True), 1,
+            "conv core only (skips/attention/Pearson excl.)"),
+        "train_unetres": (
+            3 * fwd, train_bytes(_UNET_BATCH), 3,
+            "conv core only (residual head/skips excl.)"),
+        "train_unetres_fused": (
+            3 * fwd, train_bytes(_UNET_BATCH, fused=True), 3,
+            "conv core only (residual head/skips excl.)"),
+        "train_varae": (
+            3 * fwd, train_bytes(_VARAE_BATCH), 3,
+            "conv core only (MS-SSIM value+grad excl.)"),
+        "train_srcnn": (
+            3 * sr["fwd_flops"], sr_train_bytes, 3, "srcnn_res train step"),
+        "train_srcnn_bf16": (
+            3 * sr["fwd_flops"], sr_train_bytes, 1,
+            "srcnn_res train, 1-pass bf16"),
+    }
+    out = {}
+    for metric, ips in rates.items():
+        if metric not in rows or not ips:
+            continue
+        flops, nbytes, passes, note = rows[metric]
+        tflops = ips * flops / 1e12
+        gbps = ips * nbytes / 1e9
+        eff_peak = _V5E_BF16_TFLOPS / passes
+        out[metric] = {
+            "flops_per_img": round(flops / 1e6, 3),      # MFLOP
+            "bytes_per_img": round(nbytes / 1024, 1),    # KiB
+            "tflops": round(tflops, 3),
+            "hbm_gbps": round(gbps, 1),
+            "mxu_frac": round(tflops / eff_peak, 4),
+            "hbm_frac": round(gbps / _V5E_HBM_GBPS, 4),
+            "arith_intensity": round(flops / nbytes, 1),
+            "model": note,
+        }
+    return out
+
+
 #: fast-step metrics; each runs as the FIRST executable of its own process
 #: (see docstring), as (precision, builder kwargs) apply variants or trains
 _LATENT, _FC = 32, 128
@@ -881,6 +1098,7 @@ _APPLY_SUITE = (
     "apply_bf16_weights",   # + bf16 weight storage (b4096)
     "apply_unet",           # UNET pure-XLA baseline (b4096)
     "apply_unet_fused",     # UNET fused Pallas tail (b8192)
+    "apply_fused_bf16out",  # fused tail + bf16 output write (b8192, r5)
 )
 #: applies per scan dispatch: sized so one dispatch runs 5-10 s of
 #: device work — the once-per-dispatch tunnel tax (<=~0.6 s at these
@@ -892,6 +1110,7 @@ _APPLY_SCAN_K = {
     "apply_bf16_weights": 192,
     "apply_unet": 96,
     "apply_unet_fused": 96,
+    "apply_fused_bf16out": 96,
 }
 _APPLY_SCAN_K_OVERRIDE = int(os.environ.get("CAE_BENCH_APPLY_SCAN_K", "0"))
 
@@ -912,15 +1131,26 @@ def measure_one(metric: str) -> dict:
     scan), so one process for seven train metrics is both cheaper and
     safe — unlike the fast apply metrics, which stay one-per-process."""
     _enable_cache()
-    if metric in ("train_suite", "apply_suite"):
+    if metric in ("train_suite", "apply_suite", "all_suite"):
         # CAE_BENCH_HAVE: metrics the parent already harvested on an
-        # earlier sweep — a retried suite child only measures the gaps
+        # earlier sweep — a retried suite child only measures the gaps.
+        # ``all_suite`` is the fallback child (VERDICT r4 #1): EVERY
+        # metric, apply baselines and the headline included, measured
+        # sequentially in ONE long-lived process — stalls concentrate in
+        # per-process tunnel setup (BASELINE.md ordering run #3: an
+        # endemic-stall session stalled every fresh child ~300 s while
+        # in-process sequential program loads never stalled), so one
+        # process that wins its setup lottery can land everything
+        # missing.  apply_fused (single-call wall timing) is first in
+        # the order, so when it is missing it is still the first
+        # executable of the process — the only validity condition its
+        # timing method has.
         skip = {
             m
             for v in ("CAE_BENCH_SKIP", "CAE_BENCH_HAVE")
             for m in os.environ.get(v, "").split(",") if m
         }
-        members = _TRAIN_METRICS if metric == "train_suite" else _APPLY_SUITE
+        members = _SUITE_MEMBERS[metric]
         for m in members:
             if m in skip:
                 continue
@@ -981,8 +1211,15 @@ def measure_one(metric: str) -> dict:
         vrun, vcarry, vdata = build_jax_varae_train(_VARAE_BATCH, k)
         varae_ips = _VARAE_BATCH / time_jax_train_scan(vrun, vcarry, vdata, k)
         return {"train_varae": varae_ips}
-    if metric == "train_srcnn":
-        convops.set_precision("high")
+    if metric in ("train_srcnn", "train_srcnn_bf16"):
+        # SRCNNRes is the one FLOP-bound model in the suite (~22 GFLOP/img
+        # train; arith intensity ~200 FLOP/B) — the precision ladder moves
+        # its MXU peak directly, so the 1-pass bf16 A/B is a first-class
+        # metric here (VERDICT r4 #3), unlike the HBM-bound AE family
+        # where it only trims operand traffic.
+        convops.set_precision(
+            "default" if metric.endswith("_bf16") else "high"
+        )
         k = _TRAIN_SCAN_STEPS
         srun, scarry, sdata = build_jax_srcnn_train(_SRCNN_BATCH, k)
         return {metric: _SRCNN_BATCH / time_jax_train_scan(srun, scarry, sdata, k)}
@@ -1007,9 +1244,11 @@ def measure_one(metric: str) -> dict:
                 b, fused_tail=metric == "apply_unet_fused"
             )
         else:
-            b = min(8192, _BATCH) if metric == "apply_fused_scan" else _XLA_BATCH
+            fused_b8192 = metric in ("apply_fused_scan", "apply_fused_bf16out")
+            b = min(8192, _BATCH) if fused_b8192 else _XLA_BATCH
             kwargs = {
                 "apply_fused_scan": {"fused_tail": True},
+                "apply_fused_bf16out": {"fused_tail": True, "bf16_out": True},
                 "apply_xla_high": {},
                 "apply_bf16": {},
                 "apply_bf16_weights": {"bf16_weights": True},
@@ -1029,12 +1268,13 @@ def measure_one(metric: str) -> dict:
 
 
 def _metric_done(metric: str, rates: dict) -> bool:
-    if metric in ("train_suite", "apply_suite"):
+    if metric in ("train_suite", "apply_suite", "all_suite"):
         skip = {
             m for m in os.environ.get("CAE_BENCH_SKIP", "").split(",") if m
         }
-        members = _TRAIN_METRICS if metric == "train_suite" else _APPLY_SUITE
-        return all(m in rates or m in skip for m in members)
+        return all(
+            m in rates or m in skip for m in _SUITE_MEMBERS[metric]
+        )
     return metric in rates
 
 
@@ -1147,17 +1387,30 @@ _TRAIN_METRICS = (
     "train_unet_fused",  # UNET product-default train loss (fused last stage)
     "train_unet_fused_bf16",  # fused tail + 1-pass bf16 interior convs
     "train_unet",        # UNET XLA train loss (the fused path's baseline)
-    # the round-4 extension metrics come before the r3-recorded tail:
-    # if a tunnel stall truncates the suite's slice, the loss falls on
-    # metrics that already have a driver-recorded value, not on the
-    # never-recorded ones
+    # never-driver-recorded metrics come before the recorded tail: if a
+    # tunnel stall truncates the suite's slice, the loss falls on metrics
+    # that already have a driver-recorded value.  train_convae_bf16 has
+    # been skipped three rounds running (VERDICT r4 #1) — it now runs
+    # seventh, not last; train_srcnn_bf16 is new in round 5 (the
+    # precision-ladder A/B on the one FLOP-bound model).
+    "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
+    "train_srcnn_bf16",   # SRCNN 1-pass bf16 A/B (FLOP-bound model)
     "train_srcnn",    # SRCNNRes residual super-resolver (MSE, adam_l2)
     "train_gan",      # ResUNetGAN two-player WGAN-GP step (n_critic=1)
     "train_unetres_fused",  # UNETRes residual head fused in-kernel
     "train_unetres",        # UNETRes XLA twin
     "train_varae",    # Pallas MS-SSIM value+grad in the loss
-    "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
 )
+
+#: suite name -> members.  ``all_suite`` (the fallback child) leads with
+#: the headline (single-call timing is valid only as the process's first
+#: executable), then the apply baselines — historically the stall-lottery
+#: victims (skipped 3 rounds running) — then the train metrics.
+_SUITE_MEMBERS = {
+    "train_suite": _TRAIN_METRICS,
+    "apply_suite": _APPLY_SUITE,
+    "all_suite": ("apply_fused",) + _APPLY_SUITE + _TRAIN_METRICS,
+}
 
 #: metrics in priority order; the first is the headline.  Round-4 shape:
 #: THREE children total.  The round-3 artifact skipped 5 apply metrics
@@ -1185,10 +1438,11 @@ _ALL_KEYS = ("apply_fused", "train_convae_fused", "train_convae",
              "train_convae_fused_bf16",
              "train_unet_fused", "train_unet_fused_bf16", "train_unet",
              "train_unetres_fused", "train_unetres", "train_varae",
-             "train_convae_bf16", "train_srcnn", "train_gan",
+             "train_convae_bf16", "train_srcnn", "train_srcnn_bf16",
+             "train_gan",
              "apply_unet_fused", "apply_unet",
              "apply_xla_high", "apply_bf16", "apply_bf16_weights",
-             "apply_fused_scan")
+             "apply_fused_scan", "apply_fused_bf16out")
 
 
 def _build_result(rates, torch_stats, elapsed_s):
@@ -1241,10 +1495,12 @@ def _build_result(rates, torch_stats, elapsed_s):
         "train_unetres_fused": "train_unetres_fused_images_per_sec",
         "train_varae": "train_varae_images_per_sec",
         "train_srcnn": "train_srcnn_images_per_sec",
+        "train_srcnn_bf16": "train_srcnn_bf16_images_per_sec",
         "train_gan": "train_gan_images_per_sec",
         "apply_unet_fused": "apply_unet_fused_images_per_sec",
         "apply_unet": "apply_unet_images_per_sec",
         "apply_fused_scan": "apply_fused_scan_images_per_sec",
+        "apply_fused_bf16out": "apply_fused_bf16out_images_per_sec",
     }
     for key, name in names.items():
         if key in rates:
@@ -1265,9 +1521,23 @@ def _build_result(rates, torch_stats, elapsed_s):
         ("apply_unet_fused_vs_xla", "apply_unet_fused", "apply_unet"),
         ("train_convae_fused_vs_xla", "train_convae_fused", "train_convae"),
         ("train_unet_fused_vs_xla", "train_unet_fused", "train_unet"),
+        # the two round-5 A/Bs: bf16 output write vs the f32 floor, and
+        # the precision ladder on the FLOP-bound SRCNN step
+        ("apply_bf16out_vs_fused", "apply_fused_bf16out", "apply_fused_scan"),
+        ("train_srcnn_bf16_vs_high", "train_srcnn_bf16", "train_srcnn"),
     ):
         if rates.get(num) and rates.get(den):
             result[name] = round(rates[num] / rates[den], 2)
+    # roofline columns (VERDICT r4 #3): the artifact itself carries each
+    # metric's implied bandwidth/MFU fractions vs the v5e ceilings
+    roof = _roofline_rows(rates)
+    if roof:
+        result["roofline"] = roof
+        result["roofline_peaks"] = {
+            "hbm_gbps": _V5E_HBM_GBPS,
+            "mxu_bf16_tflops": _V5E_BF16_TFLOPS,
+            "passes_per_precision": _PREC_PASSES,
+        }
     return result
 
 
@@ -1328,56 +1598,91 @@ def main():
             return _APPLY_SUITE
         return (metric,)
 
-    for sweep in range(3):
-        for metric in _METRICS:
-            if _metric_done(metric, rates) or metric in skip:
-                continue
-            missing = [m for m in suite_members(metric)
-                       if m not in rates and m not in skip]
-            first_json = None
-            if metric == "train_suite":
-                # one child, all train metrics scan-timed: most of its
-                # slice is per-graph program load; results stream out as
-                # lines, so a truncated child still lands its early
-                # members.  First pass gets the bulk of the budget;
-                # retries are sized to what's actually missing.  The
-                # first-output watchdog kills a setup-stalled child early
-                # (it would otherwise burn the whole slice printing
-                # nothing — observed 422 s, round-4 validation) so the
-                # remaining budget buys a fresh-process retry.
-                cap = max(2 * _HEADLINE_CAP_S, 0.55 * _BUDGET_S) \
-                    if sweep == 0 else _RETRY_PER_MEMBER_S * len(missing)
-                first_json = _FIRST_JSON_S
-            elif metric == "apply_suite":
-                cap = _APPLY_SUITE_CAP_S if sweep == 0 \
-                    else _RETRY_PER_MEMBER_S * len(missing)
-                first_json = _FIRST_JSON_S
-            elif sweep == 0:
-                # the headline's single JSON line IS its first output, so
-                # the cap doubles as its watchdog
-                cap = _HEADLINE_CAP_S
-            else:
-                cap = _RETRY_PER_MEMBER_S * 1.5  # b8192 fused warm ~25 s
-            if remaining() < 90:
-                break
-            have = [m for m in suite_members(metric) if m in rates]
-            t_m = time.monotonic()
-            got = _run_subprocess(
-                metric, min(cap, max(60.0, remaining() - 20)), have=have,
-                first_json_s=first_json,
-            )
-            rates.update(got)
-            print(
-                f"# bench: {metric} "
-                f"{'ok' if _metric_done(metric, rates) else 'MISSING'} "
-                f"in {time.monotonic() - t_m:.0f}s "
-                f"(sweep {sweep}, {remaining():.0f}s left)",
-                flush=True,
-            )
-            print(json.dumps(_build_result(rates, torch_stats,
-                                           time.monotonic() - t0)), flush=True)
-        if remaining() < 90:
+    # ---- sweep 0: the proven healthy-session shape (headline fresh
+    # process, then the two suite children).  A healthy cache-warm
+    # session lands everything here in ~400-500 s (BASELINE.md round-4
+    # validations).  Endemic-stall detection: setup stalls are
+    # per-process AND correlated within a session — if the first two
+    # children both produce nothing, skip straight to the fallback loop
+    # instead of burning the train_suite's big slice on a third lottery
+    # ticket that session statistics say will also stall.
+    zero_output_children = 0
+    for metric in _METRICS:
+        if _metric_done(metric, rates) or metric in skip:
+            continue
+        if zero_output_children >= 2:
+            print("# bench: two setup-stalled children — endemic-stall "
+                  "session, skipping to the all_suite fallback",
+                  flush=True)
             break
+        first_json = None
+        if metric == "train_suite":
+            # one child, all train metrics scan-timed: most of its slice
+            # is per-graph program load; results stream out as lines, so
+            # a truncated child still lands its early members.  The
+            # first-output watchdog kills a setup-stalled child early
+            # (it would otherwise burn the whole slice printing nothing
+            # — observed 422 s, round-4 validation).
+            cap = max(2 * _HEADLINE_CAP_S, 0.45 * _BUDGET_S)
+            first_json = _FIRST_JSON_S
+        elif metric == "apply_suite":
+            cap = _APPLY_SUITE_CAP_S
+            first_json = _FIRST_JSON_S
+        else:
+            # the headline's single JSON line IS its first output, so
+            # the cap doubles as its watchdog
+            cap = _HEADLINE_CAP_S
+        if remaining() < 120:
+            break
+        have = [m for m in suite_members(metric) if m in rates]
+        t_m = time.monotonic()
+        got = _run_subprocess(
+            metric, min(cap, max(60.0, remaining() - 20)), have=have,
+            first_json_s=first_json,
+        )
+        rates.update(got)
+        if not got:
+            zero_output_children += 1
+        print(
+            f"# bench: {metric} "
+            f"{'ok' if _metric_done(metric, rates) else 'MISSING'} "
+            f"in {time.monotonic() - t_m:.0f}s "
+            f"(sweep 0, {remaining():.0f}s left)",
+            flush=True,
+        )
+        print(json.dumps(_build_result(rates, torch_stats,
+                                       time.monotonic() - t0)), flush=True)
+
+    # ---- fallback sweeps (VERDICT r4 #1): fold EVERY unmeasured metric
+    # into ONE long-lived all_suite child per sweep, measured
+    # sequentially with scan-dispatch timing (the headline single-call
+    # runs first when missing).  Budgeted first-class: each child gets
+    # all remaining budget (the 180 s first-output watchdog, not the
+    # cap, is what bounds a setup-stalled draw), so an endemic-stall
+    # session spends its budget on fresh lottery draws and the first
+    # winning draw measures everything that is still missing.
+    def all_missing():
+        return [k for k in _ALL_KEYS if k not in rates and k not in skip]
+
+    fallback_draw = 0
+    while all_missing() and remaining() > 100:
+        fallback_draw += 1
+        have = [m for m in _SUITE_MEMBERS["all_suite"] if m in rates]
+        t_m = time.monotonic()
+        got = _run_subprocess(
+            "all_suite", max(60.0, remaining() - 20), have=have,
+            first_json_s=_FIRST_JSON_S,
+        )
+        rates.update(got)
+        print(
+            f"# bench: all_suite fallback draw {fallback_draw} landed "
+            f"{len(got)} metric(s) in {time.monotonic() - t_m:.0f}s; "
+            f"missing: {','.join(all_missing()) or 'none'} "
+            f"({remaining():.0f}s left)",
+            flush=True,
+        )
+        print(json.dumps(_build_result(rates, torch_stats,
+                                       time.monotonic() - t0)), flush=True)
 
     # final (possibly identical) line for single-line consumers
     print(json.dumps(_build_result(rates, torch_stats, time.monotonic() - t0)),

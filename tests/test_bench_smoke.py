@@ -37,7 +37,7 @@ def test_bench_emits_parseable_headline_record():
         # (CAE_BENCH_ONLY warm-up) and by the model-level tests
         CAE_BENCH_SKIP="train_convae_fused,train_unet_fused,"
         "train_convae_fused_bf16,train_unetres_fused,"
-        "train_srcnn,train_gan",
+        "train_srcnn,train_srcnn_bf16,train_gan",
     )
     out = subprocess.run(
         [sys.executable, BENCH], env=env, text=True, timeout=420,

@@ -35,6 +35,22 @@ from .nc3 import NC3File
 _SCAN_ROWS = 256
 
 
+def open_row_reader(path):
+    """Row reader for a netCDF file: ``NC3File`` (CDF-1/2) or ``H5File``
+    (netCDF4/HDF5, ``data/h5nc.py``) by signature — both expose the same
+    ``variables``/``n_rows``/``read_rows``/``close`` surface, so the
+    out-of-core pipeline streams from either format."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    from .h5nc import HDF5_MAGIC
+
+    if head == HDF5_MAGIC:
+        from .h5nc import H5File
+
+        return H5File(path)
+    return NC3File(path)
+
+
 def parse_size(text) -> int:
     """'512M' / '8G' / '1.5T' / plain bytes -> int bytes."""
     if text is None:
@@ -119,7 +135,7 @@ class DiskStreamDataset:
         if not paths:
             raise ValueError("DiskStreamDataset needs at least one file")
         self.paths = [str(p) for p in paths]
-        self.files = [NC3File(p) for p in self.paths]
+        self.files = [open_row_reader(p) for p in self.paths]
         self._configured = False
         self._issued_views = 0
 

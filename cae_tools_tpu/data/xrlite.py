@@ -13,13 +13,16 @@ needs:
   mapping; ``to_netcdf`` / ``open_dataset`` / ``open_mfdataset`` / ``concat``.
 
 Files are written in netCDF3 64-bit-offset format (``version=2``) via
-``scipy.io.netcdf_file`` — the classic data model without classic-format's
-2 GiB per-variable/file limits — which this library and standard netCDF
-tooling (ncdump, xarray) can read.  netCDF4/HDF5 *reading* is not
-implemented here: ``open_dataset`` detects the HDF5 signature and raises an
-actionable error pointing at the xarray+netcdf4 stack.  When the real
-xarray package is importable, ``cae_tools_tpu.xrcompat`` prefers it and
-this module is unused.
+``scipy.io.netcdf_file`` by default — the classic data model without
+classic-format's 2 GiB per-variable/file limits — or as netCDF4/HDF5 with
+``to_netcdf(..., format="NETCDF4")`` (built-in writer, ``data/h5nc.py``).
+netCDF4/HDF5 *reading* is built in since round 5: ``open_dataset`` routes
+the HDF5 signature to the from-the-spec reader in ``data/h5nc.py``
+(superblock v0-v3, contiguous + chunked layouts, gzip+shuffle filters,
+netCDF dimension-scale resolution), raising an actionable error naming
+any feature outside that envelope.  When the real xarray package is
+importable, ``cae_tools_tpu.xrcompat`` prefers it and this module is
+unused.
 """
 
 from __future__ import annotations
@@ -254,12 +257,19 @@ class Dataset:
                 return None  # record dim must be leading everywhere
         return best
 
-    def to_netcdf(self, path, engine=None):
+    def to_netcdf(self, path, engine=None, format=None):
+        # format="NETCDF4": HDF5-based classic-model write via the
+        # built-in writer (data/h5nc.py — dimension scales +
+        # DIMENSION_LIST, contiguous or chunked+deflate)
+        if format and str(format).upper().startswith("NETCDF4"):
+            from .h5nc import write_h5_dataset
+
+            return write_h5_dataset(self, path)
         from scipy.io import netcdf_file
 
-        # version=2 = netCDF3 64-bit-offset: file and variable offsets past
-        # 2 GiB work — required at production EOCIS dataset sizes (the
-        # reference's datasets are "netcdf4 file(s)",
+        # default: version=2 = netCDF3 64-bit-offset: file and variable
+        # offsets past 2 GiB work — required at production EOCIS dataset
+        # sizes (the reference's datasets are "netcdf4 file(s)",
         # reference cli/train_cae.py:20-23; CDF-2 + a record dim is the
         # closest envelope scipy can write).
         rec_dim = self._record_dim()
@@ -314,12 +324,15 @@ def _check_signature(path):
     if head[:4] in _NC3_MAGICS:
         return
     if head == _HDF5_MAGIC:
+        # reachable only from netCDF3-specific contexts (e.g. NC3File on
+        # an HDF5 file); open_dataset and DiskStreamDataset route HDF5 to
+        # the built-in netCDF4 reader (data/h5nc.py) before getting here
         raise ValueError(
-            f"{path!s} is a netCDF4/HDF5 file. This build's bundled netCDF "
-            "backend (xrlite) reads netCDF3 only (classic + 64-bit "
-            "offset). Install xarray+netcdf4 — cae_tools_tpu.xrcompat "
-            "prefers them automatically — or convert the file first "
-            "(e.g. `nccopy -k classic in.nc out.nc`)."
+            f"{path!s} is a netCDF4/HDF5 file, but this code path is "
+            "netCDF3-specific. Open it via xrlite.open_dataset / "
+            "DiskStreamDataset (built-in netCDF4 reader, data/h5nc.py) "
+            "or install xarray+netcdf4 — cae_tools_tpu.xrcompat prefers "
+            "them automatically."
         )
     if head[:4] == b"CDF\x05":
         raise ValueError(
@@ -338,6 +351,19 @@ def _check_signature(path):
 def open_dataset(path, engine=None) -> Dataset:
     from scipy.io import netcdf_file
 
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(8)
+    except OSError:
+        head = b""
+    if head == _HDF5_MAGIC:
+        # netCDF4/HDF5: the built-in from-the-spec reader (data/h5nc.py —
+        # superblock v0-v3, contiguous/chunked layouts, gzip+shuffle,
+        # DIMENSION_LIST dimension resolution); raises an actionable
+        # H5Error naming any feature outside the classic-model envelope
+        from .h5nc import read_h5_dataset
+
+        return read_h5_dataset(path)
     _check_signature(path)
     f = netcdf_file(path, "r", mmap=False)
     try:

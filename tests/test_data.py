@@ -63,14 +63,26 @@ def test_xrlite_writes_64bit_offset(tmp_path):
     assert back["v"].shape == (2, 2)
 
 
-def test_xrlite_hdf5_signature_actionable_error(tmp_path):
-    """A netCDF4/HDF5 input fails with a message naming the fix, not
-    scipy's raw 'not a valid NetCDF 3 file' TypeError."""
+def test_xrlite_hdf5_signature_routes_to_builtin_reader(tmp_path):
+    """A netCDF4/HDF5 input is READ via the built-in reader since round 5
+    (data/h5nc.py); an out-of-envelope/corrupt HDF5 file still fails with
+    an actionable message naming the fix, not scipy's raw TypeError."""
+    from cae_tools_tpu.data.h5nc import write_h5_dataset
+
+    ds = xrlite.Dataset()
+    ds["v"] = xrlite.DataArray(
+        np.arange(12, dtype=np.float32).reshape(3, 4), dims=("a", "b")
+    )
     path = str(tmp_path / "h5.nc")
-    with open(path, "wb") as f:
+    write_h5_dataset(ds, path)
+    back = xrlite.open_dataset(path)
+    np.testing.assert_array_equal(back["v"].values, ds["v"].values)
+
+    bad = str(tmp_path / "bad.nc")
+    with open(bad, "wb") as f:
         f.write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(ValueError, match="netCDF4/HDF5") as ei:
-        xrlite.open_dataset(path)
+    with pytest.raises(ValueError) as ei:
+        xrlite.open_dataset(bad)
     msg = str(ei.value)
     assert "xarray" in msg and "netcdf4" in msg  # the actionable part
 

@@ -1082,7 +1082,7 @@ _XLA_BATCH = int(os.environ.get("CAE_BENCH_XLA_BATCH", str(min(4096, _BATCH))))
 #: b x 256 x 256 x 64 f32 activations (fwd+bwd) — b64 keeps it in HBM;
 #: the GAN two-player step runs ~4 full-res generator/critic passes + a
 #: gradient-penalty double-grad per step — b128.
-_SRCNN_BATCH = min(64, _BATCH)
+_SRCNN_BATCH = min(int(os.environ.get("CAE_BENCH_SRCNN_BATCH", "64")), _BATCH)
 _GAN_BATCH = min(128, _BATCH)
 
 #: apply metrics measured inside the ONE ``apply_suite`` child (round 4):

@@ -422,7 +422,8 @@ def build_jax_srcnn_train(batch, k_steps):
     (``models/srcnn_res_model.py``) is bilinear-up + 1x1 base projection +
     9-5-5 conv residual with an MSE loss.  Full-resolution 64-channel
     activations bound the batch (b x 256 x 256 x 64 f32 = 16.8 GB at
-    b1024): b64 keeps fwd+bwd inside HBM."""
+    b1024): b128 (the measured throughput knee) keeps fwd+bwd inside
+    HBM — b256 fits too but gains nothing (scripts/srcnn_knee.py)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -1079,10 +1080,14 @@ _TRAIN_SCAN_STEPS = int(os.environ.get("CAE_BENCH_SCAN_STEPS", "64"))
 #: BASELINE.md scaling table).
 _XLA_BATCH = int(os.environ.get("CAE_BENCH_XLA_BATCH", str(min(4096, _BATCH))))
 #: extension-model train batches (round 4): SRCNNRes materializes
-#: b x 256 x 256 x 64 f32 activations (fwd+bwd) — b64 keeps it in HBM;
+#: b x 256 x 256 x 64 f32 activations (fwd+bwd) — b128 is the knee;
 #: the GAN two-player step runs ~4 full-res generator/critic passes + a
 #: gradient-penalty double-grad per step — b128.
-_SRCNN_BATCH = min(int(os.environ.get("CAE_BENCH_SRCNN_BATCH", "64")), _BATCH)
+#: SRCNN knee measured round 5 (scripts/srcnn_knee.py, one-process scan
+#: sweep): HIGH 582@b64 -> 1186@b128 -> 1185@b256; 1-pass bf16 1633@b64
+#: -> 2932@b128 -> 2943@b256 img/s — both curves double to b128 then go
+#: flat, so the default sits at the knee.
+_SRCNN_BATCH = min(int(os.environ.get("CAE_BENCH_SRCNN_BATCH", "128")), _BATCH)
 _GAN_BATCH = min(128, _BATCH)
 
 #: apply metrics measured inside the ONE ``apply_suite`` child (round 4):

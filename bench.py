@@ -907,16 +907,10 @@ def _convae_stats(spec, latent, fc):
         l.output_dimensions[0] * l.output_dimensions[1] * l.output_dimensions[2]
         for l in spec.output_layers
     ]
-    tail_in_e = (
-        spec.output_layers[tail_start].input_dimensions[0]
-        * spec.output_layers[tail_start].input_dimensions[1]
-        * spec.output_layers[tail_start].input_dimensions[2]
-        if tail_start is not None else None
-    )
     return {
         "fwd_flops": flops, "acts": acts, "params": params,
         "in_e": in_e, "out_e": out_e, "tail_start": tail_start,
-        "dec_out_elems": dec_out_elems, "tail_in_e": tail_in_e,
+        "dec_out_elems": dec_out_elems,
     }
 
 
@@ -939,7 +933,8 @@ def _roofline_rows(rates):
     * apply XLA: in + out + 2x every intermediate activation (each one is
       written by its producer fusion and read by its consumer).
     * apply fused: tail-stage activations never reach HBM — in + out +
-      2x encoder/FC/head acts + the tail input (read once).
+      2x encoder/FC/head acts (the tail's input IS a head activation,
+      so its producer write + kernel read sit inside that 2x term).
     * train: fwd writes + bwd reads of every activation (2 round trips =
       4x acts) + x + 2x output/target + 8x params (grad + adam moments)
       amortized over the batch.
@@ -962,7 +957,7 @@ def _roofline_rows(rates):
     ae_fused_bytes = f32 * (s["in_e"] + s["out_e"] + 2 * head_acts)
     last_out = s["dec_out_elems"][-1]
 
-    def train_bytes(batch, fused=False, out_bytes=f32):
+    def train_bytes(batch, fused=False):
         acts4 = 4 * (sum_acts + last_out)
         if fused:
             acts4 -= 4 * last_out  # final stage output never hits HBM

@@ -40,11 +40,9 @@ def open_row_reader(path):
     (netCDF4/HDF5, ``data/h5nc.py``) by signature — both expose the same
     ``variables``/``n_rows``/``read_rows``/``close`` surface, so the
     out-of-core pipeline streams from either format."""
-    with open(path, "rb") as f:
-        head = f.read(8)
-    from .h5nc import HDF5_MAGIC
+    from .h5nc import is_hdf5
 
-    if head == HDF5_MAGIC:
+    if is_hdf5(path):  # signature at 0 OR 512/1024/... (user blocks)
         from .h5nc import H5File
 
         return H5File(path)

@@ -59,6 +59,26 @@ import numpy as np
 HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 
+
+def is_hdf5(path) -> bool:
+    """True if ``path`` is an HDF5 file — signature at offset 0 or, for
+    files with a user block, at 512/1024/2048/... (the same search
+    ``H5File._find_superblock`` performs).  Detection helpers must use
+    this rather than reading 8 bytes at offset 0, or user-block files
+    get misrouted to the netCDF3 reader."""
+    try:
+        size = os.path.getsize(path)
+        with open(path, "rb") as fh:
+            off = 0
+            while off < size:
+                fh.seek(off)
+                if fh.read(8) == HDF5_MAGIC:
+                    return True
+                off = 512 if off == 0 else off * 2
+    except OSError:
+        pass
+    return False
+
 # message type ids
 _MSG_NIL = 0x0000
 _MSG_DATASPACE = 0x0001
@@ -473,6 +493,12 @@ class H5File:
         head = self._read(8, 64)
         buf = _Buf(head)
         ver = buf.u1()
+        if ver == 1:
+            # v1's 4-byte indexed-storage-k field pushes the root STE
+            # header address to bytes 60-68 after the signature — the
+            # 64-byte v0 read is short for it, so re-read wider
+            buf = _Buf(self._read(8, 72))
+            buf.u1()
         if ver in (0, 1):
             buf.skip(1 + 1 + 1 + 1)  # freespace/root/reserved/shared vers
             so, sl = buf.u1(), buf.u1()
@@ -498,7 +524,25 @@ class H5File:
         root = self._object_header(root_header)
         links = self._group_links(root)
 
+        # global (root-group) attributes — the netCDF "global attrs"
+        # surface the netCDF3 route exposes as NC3File._attributes
+        self._attributes = {}
+        for body in root.all(_MSG_ATTR):
+            try:
+                a = _parse_attr(body, self.path)
+            except H5Error:
+                continue
+            val = self._attr_value(a)
+            if val is not None and not a.name.startswith("_Netcdf"):
+                self._attributes[a.name] = val
+
         self.variables: dict[str, "H5Var"] = {}
+        #: name -> H5Error for datasets outside the supported envelope
+        #: (string/reference/compound types, exotic filters...).  The
+        #: error is DEFERRED to access: a production file carrying an
+        #: ancillary 'crs' or label variable alongside numeric training
+        #: data must not be unreadable as a whole.
+        self.unsupported: dict[str, H5Error] = {}
         objects = {}
         for name, addr in links.items():
             objects[name] = (addr, self._object_header(addr))
@@ -507,7 +551,10 @@ class H5File:
         for name, (addr, obj) in objects.items():
             if obj.first(_MSG_DATASPACE) is None:
                 continue  # sub-group: classic model keeps data at root
-            self.variables[name] = H5Var(self, name, addr, obj)
+            try:
+                self.variables[name] = H5Var(self, name, addr, obj)
+            except H5Error as e:
+                self.unsupported[name] = e
 
         # netCDF-4 dimension resolution
         self._resolve_dims()
@@ -782,11 +829,17 @@ class H5File:
                         phony += 1
             if len(dims) != len(v.shape):
                 dims = []
+                seen = {}  # size -> occurrences within THIS variable
                 for size in v.shape:
                     if name in self._dim_vars:
                         dims.append(name)  # a dim scale is its own dim
                         continue
-                    key = size
+                    # key by (size, occurrence index): a square variable
+                    # (..., 256, 256) must get two DISTINCT phony dims
+                    # (duplicate dims in one array are invalid), while
+                    # equal-size axes still share names across variables
+                    key = (size, seen.get(size, 0))
+                    seen[size] = seen.get(size, 0) + 1
                     if key not in shared:
                         shared[key] = f"phony_dim_{phony}"
                         phony += 1
@@ -805,12 +858,17 @@ class H5File:
             out.append(name)
         return out
 
+    def _var(self, name: str) -> "H5Var":
+        if name in self.unsupported:
+            raise self.unsupported[name]  # deferred actionable error
+        return self.variables[name]
+
     def n_rows(self, var: str) -> int:
-        v = self.variables[var]
+        v = self._var(var)
         return v.shape[0] if v.shape else 1
 
     def read_rows(self, var: str, rows) -> np.ndarray:
-        return self.variables[var].read_rows(rows)
+        return self._var(var).read_rows(rows)
 
     def close(self):
         if self._fd is not None:
@@ -1104,6 +1162,7 @@ def read_h5_dataset(path):
     f = H5File(path)
     try:
         ds = xrlite.Dataset()
+        ds.attrs.update(f._attributes)  # global attrs, as the nc3 route
         for name in f.data_variable_names():
             v = f.variables[name]
             arr = v.read()
@@ -1228,7 +1287,33 @@ class _AttrV1:
         return body
 
 
-def write_h5_dataset(ds, path, chunk_rows=None, compress=None):
+def _attr_msgs(attrs) -> list:
+    """(type, body) ATTR messages for a str/numeric attrs mapping.
+
+    Non-string, non-numeric values are skipped — the same policy the
+    reader applies to attributes it cannot decode."""
+    msgs = []
+    for k, v in (attrs or {}).items():
+        if isinstance(v, str):
+            vb = v.encode() + b"\x00"
+            msgs.append((_MSG_ATTR, _AttrV1.build(
+                k, _dt_msg(np.dtype(f"S{len(vb)}")), _ds_msg(()), vb
+            )))
+        else:
+            arr = np.asarray(v)
+            if arr.dtype.kind not in "iuf":
+                continue
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+            msgs.append((_MSG_ATTR, _AttrV1.build(
+                k, _dt_msg(arr.dtype),
+                _ds_msg(arr.shape if arr.ndim else ()),
+                arr.tobytes(),
+            )))
+    return msgs
+
+
+def write_h5_dataset(ds, path, chunk_rows=None, compress=None,
+                     _superblock_v1=False):
     """Write an xrlite-style Dataset as a netCDF4-classic-model HDF5 file.
 
     ``chunk_rows``: rows per chunk along each variable's leading dim
@@ -1259,8 +1344,15 @@ def write_h5_dataset(ds, path, chunk_rows=None, compress=None):
     internal_k = 16
     out.write(HDF5_MAGIC)
     out.write(struct.pack(
-        "<BBBBBBBBHHI", 0, 0, 0, 0, 0, 8, 8, 0, leaf_k, internal_k, 0
+        "<BBBBBBBBHHI",
+        1 if _superblock_v1 else 0, 0, 0, 0, 0, 8, 8, 0,
+        leaf_k, internal_k, 0,
     ))
+    if _superblock_v1:
+        # v1 adds indexed-storage-k + 2 reserved bytes after the flags
+        # (test fixture knob: legacy producers with non-default btree K
+        # emit v1; every address below is fixup-based so nothing shifts)
+        out.write(struct.pack("<HH", 32, 0))
     out.write(struct.pack("<Q", 0))            # base address
     out.write(struct.pack("<Q", _UNDEF))       # free space
     eof_pos = out.tell()
@@ -1272,14 +1364,20 @@ def write_h5_dataset(ds, path, chunk_rows=None, compress=None):
     out.write(struct.pack("<II", 0, 0))        # cache type 0 + reserved
     out.write(b"\x00" * 16)                    # scratch
 
-    # ---- root group object header (symbol table message) ------------------
+    # ---- root group object header (symbol table message + global attrs) ---
     out.mark("root_header")
+    gattr_msgs = _attr_msgs(getattr(ds, "attrs", {}))
+    gattr_raw = _v1_messages(gattr_msgs)
     out.write(
-        struct.pack("<BBHII4x", 1, 0, 1, 1, 8 + 16)
+        struct.pack(
+            "<BBHII4x", 1, 0, 1 + len(gattr_msgs), 1,
+            8 + 16 + len(gattr_raw),
+        )
         + struct.pack("<HHB3x", _MSG_SYMTAB, 16, 0)
     )
     out.addr_placeholder("root_btree")
     out.addr_placeholder("root_heap")
+    out.write(gattr_raw)
 
     # ---- local heap with link names ---------------------------------------
     heap_data = bytearray(b"\x00" * 8)  # offset 0 = empty string
@@ -1338,24 +1436,7 @@ def write_h5_dataset(ds, path, chunk_rows=None, compress=None):
         ]
 
     def fixed_attr_msgs(da):
-        msgs = []
-        for k, v in getattr(da, "attrs", {}).items():
-            if isinstance(v, str):
-                vb = v.encode() + b"\x00"
-                msgs.append((_MSG_ATTR, _AttrV1.build(
-                    k, _dt_msg(np.dtype(f"S{len(vb)}")), _ds_msg(()), vb
-                )))
-            else:
-                arr = np.asarray(v)
-                if arr.dtype.kind not in "iuf":
-                    continue
-                arr = arr.astype(arr.dtype.newbyteorder("<"))
-                msgs.append((_MSG_ATTR, _AttrV1.build(
-                    k, _dt_msg(arr.dtype),
-                    _ds_msg(arr.shape if arr.ndim else ()),
-                    arr.tobytes(),
-                )))
-        return msgs
+        return _attr_msgs(getattr(da, "attrs", {}))
 
     dim_index = {d: i for i, d in enumerate(dim_names)}
 

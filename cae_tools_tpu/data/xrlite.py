@@ -323,7 +323,9 @@ def _check_signature(path):
         return  # let scipy raise its own (file-not-found etc.) error
     if head[:4] in _NC3_MAGICS:
         return
-    if head == _HDF5_MAGIC:
+    from .h5nc import is_hdf5
+
+    if head == _HDF5_MAGIC or is_hdf5(path):
         # reachable only from netCDF3-specific contexts (e.g. NC3File on
         # an HDF5 file); open_dataset and DiskStreamDataset route HDF5 to
         # the built-in netCDF4 reader (data/h5nc.py) before getting here
@@ -351,12 +353,9 @@ def _check_signature(path):
 def open_dataset(path, engine=None) -> Dataset:
     from scipy.io import netcdf_file
 
-    try:
-        with open(path, "rb") as fh:
-            head = fh.read(8)
-    except OSError:
-        head = b""
-    if head == _HDF5_MAGIC:
+    from .h5nc import is_hdf5
+
+    if is_hdf5(path):  # signature at 0 OR 512/1024/... (user blocks)
         # netCDF4/HDF5: the built-in from-the-spec reader (data/h5nc.py —
         # superblock v0-v3, contiguous/chunked layouts, gzip+shuffle,
         # DIMENSION_LIST dimension resolution); raises an actionable

@@ -11,22 +11,18 @@ Usage (real TPU, serialized with any other tunnel work):
 
     python scripts/trace_apply.py [batch] [n_calls]
 
-Parses the profiler's trace-viewer JSON (``*.trace.json.gz``) directly:
-aggregates wall-duration by event name over the TPU device lanes
-(pid whose process_name metadata mentions the device), skipping host
-threads, and prints ns totals + per-batch / per-image breakdowns.
+Lane parsing/aggregation is shared with ``trace_gan.py`` via
+``_tracelib`` (module lane = per-executable time, op lane = HLO ops).
 """
 
-import glob
-import gzip
-import json
 import os
 import sys
 import tempfile
 import time
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _tracelib import aggregate_lanes, load_latest_trace, print_tables  # noqa: E402
 
 
 def main():
@@ -60,76 +56,22 @@ def main():
     print(f"# wall: {wall_s * 1e3:.1f} ms for {n_calls} calls of batch {batch} "
           f"({batch * n_calls / wall_s:,.0f} img/s wall)")
 
-    paths = glob.glob(
-        os.path.join(tracedir, "**", "*.trace.json.gz"), recursive=True
-    )
-    if not paths:
-        print(f"# no trace.json.gz under {tracedir}; contents:")
-        for p in glob.glob(os.path.join(tracedir, "**", "*"), recursive=True):
-            print("#  ", p)
+    events = load_latest_trace(tracedir)
+    if events is None:
+        print(f"# no trace.json.gz under {tracedir}")
         return
-    with gzip.open(sorted(paths)[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-
-    # device lanes: processes whose name mentions TPU/device; fall back to
-    # any non-host process carrying X-duration events
-    proc_names = {}
-    for ev in events:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            proc_names[ev["pid"]] = ev.get("args", {}).get("name", "")
-    dev_pids = {
-        pid for pid, name in proc_names.items()
-        if any(k in name.lower() for k in ("tpu", "device", "/device"))
-        and "host" not in name.lower()
-    }
-    if not dev_pids:  # CPU smoke: no device lane; aggregate everything
-        dev_pids = set(proc_names)
-    print(f"# processes: {proc_names}; device pids: {sorted(dev_pids)}")
-
-    # device traces carry two nested lanes: "XLA Modules" (one event per
-    # executable run, e.g. jit_forward) and "XLA Ops" (the HLO ops INSIDE
-    # those executables).  Summing both double-counts; device-side img/s
-    # must come from the module lane, and per-op shares from the op lane.
-    thread_names = {}
-    for ev in events:
-        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
-            thread_names[(ev["pid"], ev.get("tid"))] = (
-                ev.get("args", {}).get("name", "")
-            )
-
-    by_name = defaultdict(lambda: [0.0, 0])  # name -> [dur_us, count]
-    module_by_name = defaultdict(lambda: [0.0, 0])
-    for ev in events:
-        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
-            continue
-        lane = thread_names.get((ev["pid"], ev.get("tid")), "")
-        dur = float(ev.get("dur", 0.0))  # microseconds
-        tgt = module_by_name if "module" in lane.lower() else by_name
-        tgt[ev.get("name", "?")][0] += dur
-        tgt[ev.get("name", "?")][1] += 1
-
+    module_by_name, op_by_name = aggregate_lanes(events)
     n_imgs = batch * n_calls
-    if not module_by_name and not by_name:
+    if not module_by_name and not op_by_name:
         print("# no duration events on the selected lanes")
         return
-    print("# module lane (per-executable device time):")
-    fwd_us = 0.0
-    for name, (dur, cnt) in sorted(
-        module_by_name.items(), key=lambda kv: -kv[1][0]
-    ):
-        print(f"#   {name[:52]:52s} {dur / 1e3:10.3f} ms  x{cnt}")
-        if "forward" in name:
-            fwd_us += dur
+    print_tables(module_by_name, op_by_name, n_imgs, top=25)
+    fwd_us = sum(
+        d for name, (d, _) in module_by_name.items() if "forward" in name
+    )
     if fwd_us:
         print(f"# forward executable: {fwd_us / n_calls / 1e3:.3f} ms/batch "
               f"-> {n_imgs / (fwd_us / 1e6):,.0f} img/s device-side")
-    op_total = sum(d for d, _ in by_name.values())
-    print(f"# op lane: {op_total / 1e3:.2f} ms total over {n_calls} calls")
-    print(f"{'op':52s} {'ms total':>10s} {'x':>4s} {'us/img':>8s} {'%':>6s}")
-    for name, (dur, cnt) in sorted(by_name.items(), key=lambda kv: -kv[1][0])[:25]:
-        print(f"{name[:52]:52s} {dur / 1e3:10.3f} {cnt:4d} {dur / n_imgs:8.3f} "
-              f"{100 * dur / op_total:6.1f}")
 
 
 if __name__ == "__main__":

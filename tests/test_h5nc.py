@@ -296,3 +296,117 @@ def test_streaming_cli_on_hdf5(tmp_path):
     train_ds, test_ds = open_training_datasets(args, quiet=True)
     assert isinstance(train_ds, DiskStreamDataset)
     assert train_ds.files[0].n_rows("hires") == 7
+
+
+# ---- round-5 review fixes -------------------------------------------------
+
+def test_global_attrs_roundtrip(tmp_path):
+    """Root-group (global) attributes survive write -> read, matching the
+    netCDF3 route which preserves them in ds.attrs."""
+    ds = _sample_ds()
+    ds.attrs["title"] = "EOCIS test cube"
+    ds.attrs["version"] = np.int32(3)
+    p = str(tmp_path / "gattrs.nc")
+    write_h5_dataset(ds, p)
+    got = read_h5_dataset(p)
+    assert got.attrs["title"] == "EOCIS test cube"
+    assert int(np.asarray(got.attrs["version"])) == 3
+
+
+@pytest.mark.skipif(h5py is None, reason="h5py oracle not installed")
+def test_global_attrs_from_libhdf5(tmp_path):
+    p = str(tmp_path / "gattrs_h5py.nc")
+    with h5py.File(p, "w") as f:
+        f.attrs["summary"] = "made by libhdf5"
+        f.attrs["level"] = np.float32(2.5)
+        f["x"] = np.arange(6, dtype=np.float32)
+    got = read_h5_dataset(p)
+    assert got.attrs["summary"] == "made by libhdf5"
+    assert float(np.asarray(got.attrs["level"])) == 2.5
+
+
+@pytest.mark.skipif(h5py is None, reason="h5py oracle not installed")
+def test_phony_dims_distinct_for_square_variables(tmp_path):
+    """A (n, 1, 8, 8) variable with no dimension scales must get two
+    DISTINCT phony dims for its equal-size axes (duplicate dims in one
+    array are invalid xarray semantics), while equal-size axes still
+    share names ACROSS variables."""
+    p = str(tmp_path / "square.nc")
+    with h5py.File(p, "w") as f:
+        f["img"] = np.zeros((3, 1, 8, 8), np.float32)
+        f["img2"] = np.zeros((5, 8, 8), np.float32)
+    ds = read_h5_dataset(p)
+    dims = ds["img"].dims
+    assert len(set(dims)) == len(dims), dims
+    # the two 8-axes share names across variables, positionally
+    assert ds["img2"].dims[1:] == dims[2:]
+
+
+@pytest.mark.skipif(h5py is None, reason="h5py oracle not installed")
+def test_ancillary_string_variable_does_not_block_file(tmp_path):
+    """A production file carrying a non-numeric ancillary variable (e.g.
+    a 'crs' label) alongside numeric data must stay readable; the
+    unsupported-datatype error is deferred to access of that variable."""
+    p = str(tmp_path / "anc.nc")
+    with h5py.File(p, "w") as f:
+        f["hires"] = np.ones((4, 2, 2), np.float32)
+        f["crs"] = np.bytes_(b"WGS84")
+    f5 = H5File(p)
+    try:
+        assert "hires" in f5.data_variable_names()
+        assert "crs" not in f5.data_variable_names()
+        assert f5.n_rows("hires") == 4
+        with pytest.raises(H5Error, match="crs"):
+            f5.n_rows("crs")
+    finally:
+        f5.close()
+    ds = read_h5_dataset(p)  # skips the unsupported variable
+    assert set(ds.data_vars) == {"hires"}
+    np.testing.assert_array_equal(ds["hires"].values, np.ones((4, 2, 2)))
+
+
+@pytest.mark.skipif(h5py is None, reason="h5py oracle not installed")
+def test_userblock_hdf5_detected_and_read(tmp_path):
+    """HDF5 files with a user block (signature at offset 512) must route
+    to the built-in netCDF4 reader, not the netCDF3 error path."""
+    from cae_tools_tpu.data.diskstream import open_row_reader
+    from cae_tools_tpu.data.h5nc import is_hdf5
+
+    p = str(tmp_path / "ub.nc")
+    with h5py.File(p, "w", userblock_size=512) as f:
+        f["x"] = np.arange(12, dtype=np.float32).reshape(4, 3)
+    assert is_hdf5(p)
+    ds = xrlite.open_dataset(p)
+    np.testing.assert_array_equal(
+        ds["x"].values, np.arange(12, dtype=np.float32).reshape(4, 3)
+    )
+    r = open_row_reader(p)
+    try:
+        assert r.n_rows("x") == 4
+    finally:
+        r.close()
+
+
+def test_superblock_v1_reads(tmp_path):
+    """Superblock v1 (non-default btree-k settings, legacy producers):
+    the 4-byte indexed-storage-k field pushes the root header address to
+    bytes 60-68 — must parse, not struct.error.  (This image's h5py
+    lacks set_istore_k, so the fixture comes from the writer's v1 knob;
+    the companion libhdf5 cross-check below validates that knob.)"""
+    ds = _sample_ds()
+    p = str(tmp_path / "v1.nc")
+    write_h5_dataset(ds, p, _superblock_v1=True)
+    with open(p, "rb") as f:
+        assert f.read(9)[-1] == 1  # really superblock version 1
+    _assert_same(read_h5_dataset(p), ds)
+
+
+@pytest.mark.skipif(h5py is None, reason="h5py oracle not installed")
+def test_superblock_v1_fixture_is_valid_hdf5(tmp_path):
+    """Real libhdf5 must accept the v1-superblock fixture — proving the
+    v1 test above exercises the format, not a private dialect."""
+    ds = _sample_ds()
+    p = str(tmp_path / "v1_oracle.nc")
+    write_h5_dataset(ds, p, _superblock_v1=True)
+    with h5py.File(p, "r") as f:
+        np.testing.assert_array_equal(f["lowres"][...], ds["lowres"].values)

@@ -25,6 +25,10 @@ def test_bench_emits_parseable_headline_record():
         CAE_BENCH_ITERS="2",
         CAE_BENCH_TORCH_ITERS="2",
         CAE_BENCH_SCAN_STEPS="2",
+        # K interpret-mode Pallas applies per scan dispatch is the
+        # dominant CPU cost of the apply_suite members; 2 exercises the
+        # scan-timing path at 1/48th the default device-sized K
+        CAE_BENCH_APPLY_SCAN_K="2",
         # budget small: headline + train metrics only, rest -> "skipped"
         CAE_BENCH_BUDGET_S="240",
         CAE_BENCH_HEADLINE_CAP_S="120",

@@ -114,11 +114,20 @@ def test_xrlite_over_2gib_variable(tmp_path):
     import os
 
     assert os.path.getsize(path) > 2**31
-    back = xrlite.open_dataset(path)
-    v = back["big"].values
-    assert v.shape == (n, h, w)
-    assert v[0, 0, 0] == 1.5
-    assert v[-1, -1, -1] == -2.5
+    # read back through the from-the-spec offset-addressable reader —
+    # the production route for >RAM files — gathering only the two
+    # sentinel rows instead of materializing 2.16 GB a second time
+    from cae_tools_tpu.data.nc3 import NC3File
+
+    f = NC3File(path)
+    try:
+        assert f.n_rows("big") == n
+        rows = f.read_rows("big", np.array([0, n - 1]))
+        assert rows.shape == (2, h, w)
+        assert rows[0, 0, 0] == 1.5
+        assert rows[1, -1, -1] == -2.5  # lives past the 2**31 boundary
+    finally:
+        f.close()
 
 
 def test_xrlite_indexing():

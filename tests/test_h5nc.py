@@ -311,6 +311,10 @@ def test_global_attrs_roundtrip(tmp_path):
     got = read_h5_dataset(p)
     assert got.attrs["title"] == "EOCIS test cube"
     assert int(np.asarray(got.attrs["version"])) == 3
+    if h5py is not None:  # oracle: libhdf5 sees the same root attrs
+        with h5py.File(p, "r") as f:
+            assert f.attrs["title"] in (b"EOCIS test cube", "EOCIS test cube")
+            assert int(f.attrs["version"]) == 3
 
 
 @pytest.mark.skipif(h5py is None, reason="h5py oracle not installed")

@@ -72,9 +72,14 @@ _BUDGET_S = float(os.environ.get("CAE_BENCH_BUDGET_S", "1000"))
 #: draws for the same budget.
 _HEADLINE_CAP_S = float(os.environ.get("CAE_BENCH_HEADLINE_CAP_S", "240"))
 #: first-output watchdog for the suite children: a healthy suite child
-#: streams its first member JSON line within ~60-180 s (warm program
-#: load + one scan dispatch); a setup-stalled child never prints.
-_FIRST_JSON_S = float(os.environ.get("CAE_BENCH_FIRST_JSON_S", "180"))
+#: streams its first member JSON line within ~60-140 s (warm program
+#: load + one scan dispatch; every healthy round-4/5 validation printed
+#: well under 140 s); a setup-stalled child never prints, and each
+#: stalled draw burns exactly this much budget — 150 keeps a margin
+#: over the healthy worst case while saving 30 s per stalled draw vs
+#: the old 180 (the 2026-08-20 stress sample missed 3 members by
+#: ~120 s).
+_FIRST_JSON_S = float(os.environ.get("CAE_BENCH_FIRST_JSON_S", "150"))
 
 
 def _enable_cache():
@@ -731,6 +736,8 @@ def time_jax_apply_scan(forward, x, k, calls=2):
     import jax
     import jax.numpy as jnp
 
+    calls = _TIMING_CALLS or calls
+
     out_sd = jax.eval_shape(forward, x)
     scales = 1.0 + jnp.arange(k, dtype=jnp.float32) * 1e-4
 
@@ -758,10 +765,19 @@ def time_jax_apply_scan(forward, x, k, calls=2):
     return min(times) / k
 
 
+#: override the per-metric timing-dispatch count (0 = per-timer default).
+#: The parent sets 2 for all_suite fallback draws: in an endemic-stall
+#: session every second counts, and dropping the third scan dispatch
+#: costs ~nothing statistically (scan timing is already dispatch-tax
+#: immune) while saving 2-8 s x ~20 metrics of budget.
+_TIMING_CALLS = int(os.environ.get("CAE_BENCH_TIMING_CALLS", "0"))
+
+
 def time_jax_train_scan(run, carry, data, k_steps, calls=3):
     """Median seconds per train step from `calls` K-step scan dispatches."""
     import jax
 
+    calls = _TIMING_CALLS or calls
     rng = jax.random.PRNGKey(0)
     carry, _ = run(carry, rng, *data)  # compile + warm
     _force(carry)
@@ -1279,7 +1295,8 @@ def _metric_done(metric: str, rates: dict) -> bool:
 
 
 def _run_subprocess(metric: str, timeout_s: float, have=(),
-                    first_json_s: float | None = None) -> dict:
+                    first_json_s: float | None = None,
+                    extra_env: dict | None = None) -> dict:
     """Run one metric in a fresh process with a hard wall-clock slice.
 
     The child's stdout is read line-by-line as it appears: the moment the
@@ -1306,6 +1323,8 @@ def _run_subprocess(metric: str, timeout_s: float, have=(),
 
     env = dict(os.environ)
     env["CAE_BENCH_ONLY"] = metric
+    if extra_env:
+        env.update(extra_env)
     if have:  # a retried suite child only measures the gaps
         env["CAE_BENCH_HAVE"] = ",".join(sorted(have))
     # child stderr goes to a spool file: normally discarded, but when the
@@ -1672,6 +1691,10 @@ def main():
         got = _run_subprocess(
             "all_suite", max(60.0, remaining() - 20), have=have,
             first_json_s=_FIRST_JSON_S,
+            # endemic-stall budget mode: 2 timing dispatches per metric
+            # (saves 2-8 s x ~20 metrics; the 2026-08-20 stress sample
+            # missed its last 3 members by ~120 s of the 1000 s budget)
+            extra_env={"CAE_BENCH_TIMING_CALLS": "2"},
         )
         rates.update(got)
         print(

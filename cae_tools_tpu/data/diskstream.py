@@ -183,6 +183,11 @@ class DiskStreamDataset:
             [output_variable_name] if output_variable_name else []
         ) + ([mask_variable_name] if mask_variable_name else []):
             if name not in f0.variables:
+                # present-but-unsupported (h5nc defers the actionable
+                # error to access): surface THAT error, not "not found"
+                deferred = getattr(f0, "unsupported", {}).get(name)
+                if deferred is not None:
+                    raise deferred
                 raise ValueError(
                     f"variable {name!r} not found in {self.paths[0]}"
                 )

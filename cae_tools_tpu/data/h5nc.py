@@ -60,6 +60,19 @@ HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 
 
+def _sig_offset(read8, fsize):
+    """Offset of the HDF5 signature (0 or, with a user block,
+    512/1024/2048/...), or None.  ``read8(off) -> 8 bytes``.  The ONE
+    implementation of the signature walk — detection (:func:`is_hdf5`)
+    and parsing (``H5File._find_superblock``) must never diverge."""
+    off = 0
+    while off < fsize:
+        if read8(off) == HDF5_MAGIC:
+            return off
+        off = 512 if off == 0 else off * 2
+    return None
+
+
 def is_hdf5(path) -> bool:
     """True if ``path`` is an HDF5 file — signature at offset 0 or, for
     files with a user block, at 512/1024/2048/... (the same search
@@ -69,15 +82,13 @@ def is_hdf5(path) -> bool:
     try:
         size = os.path.getsize(path)
         with open(path, "rb") as fh:
-            off = 0
-            while off < size:
+            def read8(off):
                 fh.seek(off)
-                if fh.read(8) == HDF5_MAGIC:
-                    return True
-                off = 512 if off == 0 else off * 2
+                return fh.read(8)
+
+            return _sig_offset(read8, size) is not None
     except OSError:
-        pass
-    return False
+        return False
 
 # message type ids
 _MSG_NIL = 0x0000
@@ -481,12 +492,12 @@ class H5File:
 
     # -- superblock ---------------------------------------------------------
     def _find_superblock(self):
-        off = 0
-        while off < self._fsize:
-            if os.pread(self._fd, 8, off) == HDF5_MAGIC:
-                return off
-            off = 512 if off == 0 else off * 2
-        raise H5Error(f"{self.path}: HDF5 signature not found")
+        off = _sig_offset(
+            lambda o: os.pread(self._fd, 8, o), self._fsize
+        )
+        if off is None:
+            raise H5Error(f"{self.path}: HDF5 signature not found")
+        return off
 
     def _load(self):
         self._base = self._find_superblock()
@@ -528,12 +539,21 @@ class H5File:
         # surface the netCDF3 route exposes as NC3File._attributes
         self._attributes = {}
         for body in root.all(_MSG_ATTR):
+            # an undecodable/exotic global attribute must never make the
+            # FILE unreadable — skip it (same policy as variable attrs);
+            # catch Exception, not just H5Error: truncated payloads raise
+            # struct.error/ValueError from _Buf/np.frombuffer
             try:
                 a = _parse_attr(body, self.path)
-            except H5Error:
+                val = self._attr_value(a)
+            except Exception:
                 continue
-            val = self._attr_value(a)
-            if val is not None and not a.name.startswith("_Netcdf"):
+            # hide netCDF4 implementation attrs, as the xarray/netcdf4
+            # route does (_Netcdf4Dimid/_Netcdf4Coordinates on variables,
+            # libnetcdf's _NCProperties provenance string on the root)
+            if val is not None and not a.name.startswith(
+                ("_Netcdf", "_NCProperties")
+            ):
                 self._attributes[a.name] = val
 
         self.variables: dict[str, "H5Var"] = {}
@@ -820,7 +840,10 @@ class H5File:
             dl = v.raw_attrs.get("DIMENSION_LIST")
             dims = []
             if dl is not None:
-                refs = self._attr_value(dl)
+                try:
+                    refs = self._attr_value(dl)
+                except Exception:
+                    refs = None  # malformed refs -> phony-dim fallback
                 for i, rl in enumerate(refs or []):
                     if rl and rl[0] in self._addr_names:
                         dims.append(self._addr_names[rl[0]])
@@ -912,12 +935,19 @@ class H5Var:
         self.raw_attrs = {}
         self.attrs = {}
         for body in obj.all(_MSG_ATTR):
+            # skip undecodable attrs outright (Exception, not just
+            # H5Error: truncated payloads raise struct.error/ValueError
+            # from _Buf/np.frombuffer) — one bad attribute must not make
+            # the variable (or the file) unreadable
             try:
                 a = _parse_attr(body, path)
-            except H5Error:
+            except Exception:
                 continue
             self.raw_attrs[a.name] = a
-            val = f._attr_value(a)
+            try:
+                val = f._attr_value(a)
+            except Exception:
+                continue
             if val is not None and a.name != "DIMENSION_LIST":
                 self.attrs[a.name] = val
         self._chunks = None

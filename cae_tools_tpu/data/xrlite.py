@@ -325,7 +325,7 @@ def _check_signature(path):
         return
     from .h5nc import is_hdf5
 
-    if head == _HDF5_MAGIC or is_hdf5(path):
+    if is_hdf5(path):  # signature at 0 OR 512/1024/... (user blocks)
         # reachable only from netCDF3-specific contexts (e.g. NC3File on
         # an HDF5 file); open_dataset and DiskStreamDataset route HDF5 to
         # the built-in netCDF4 reader (data/h5nc.py) before getting here

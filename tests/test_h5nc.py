@@ -414,3 +414,35 @@ def test_superblock_v1_fixture_is_valid_hdf5(tmp_path):
     write_h5_dataset(ds, p, _superblock_v1=True)
     with h5py.File(p, "r") as f:
         np.testing.assert_array_equal(f["lowres"][...], ds["lowres"].values)
+
+
+@pytest.mark.skipif(h5py is None, reason="h5py oracle not installed")
+def test_diskstream_surfaces_deferred_unsupported_error(tmp_path):
+    """Configuring a DiskStreamDataset on a present-but-unsupported
+    variable must raise the stored actionable H5Error (naming the
+    feature), not a misleading 'variable not found'."""
+    from cae_tools_tpu.data.diskstream import DiskStreamDataset
+
+    p = str(tmp_path / "mix.nc")
+    with h5py.File(p, "w") as f:
+        f["hires"] = np.ones((4, 1, 2, 2), np.float32)
+        f["label"] = np.bytes_(b"string-typed")
+    ds = DiskStreamDataset([p])
+    try:
+        with pytest.raises(H5Error, match="label"):
+            ds.configure(["label"], "hires")
+    finally:
+        ds.close()
+
+
+@pytest.mark.skipif(h5py is None, reason="h5py oracle not installed")
+def test_ncproperties_hidden_from_global_attrs(tmp_path):
+    """libnetcdf's _NCProperties provenance attr is hidden, matching the
+    xarray/netcdf4 route (and never copied into files we write)."""
+    p = str(tmp_path / "ncprops.nc")
+    with h5py.File(p, "w") as f:
+        f.attrs["_NCProperties"] = "version=2,netcdf=4.9.2,hdf5=1.14.3"
+        f.attrs["title"] = "kept"
+        f["x"] = np.arange(4, dtype=np.float32)
+    ds = read_h5_dataset(p)
+    assert "title" in ds.attrs and "_NCProperties" not in ds.attrs

@@ -72,14 +72,16 @@ _BUDGET_S = float(os.environ.get("CAE_BENCH_BUDGET_S", "1000"))
 #: draws for the same budget.
 _HEADLINE_CAP_S = float(os.environ.get("CAE_BENCH_HEADLINE_CAP_S", "240"))
 #: first-output watchdog for the suite children: a healthy suite child
-#: streams its first member JSON line within ~60-140 s (warm program
-#: load + one scan dispatch; every healthy round-4/5 validation printed
-#: well under 140 s); a setup-stalled child never prints, and each
-#: stalled draw burns exactly this much budget — 150 keeps a margin
-#: over the healthy worst case while saving 30 s per stalled draw vs
-#: the old 180 (the 2026-08-20 stress sample missed 3 members by
-#: ~120 s).
-_FIRST_JSON_S = float(os.environ.get("CAE_BENCH_FIRST_JSON_S", "150"))
+#: streams its first member JSON line within ~15-100 s (warm program
+#: load + one scan dispatch) in every recorded validation, while a
+#: setup-stalled child never prints — each stalled draw burns exactly
+#: this much budget.  165 saves 15 s per stalled draw vs the old 180
+#: (the 2026-08-20 stress sample missed 3 members by ~120 s) while
+#: keeping >60 s of margin for a slow-but-healthy session's first line
+#: (killing a healthy child wastes the slice AND a warm re-load in the
+#: fallback, so the margin errs generous; the bigger stress-mode saver
+#: is CAE_BENCH_TIMING_CALLS=2 on fallback draws).
+_FIRST_JSON_S = float(os.environ.get("CAE_BENCH_FIRST_JSON_S", "165"))
 
 
 def _enable_cache():
@@ -1310,7 +1312,7 @@ def _run_subprocess(metric: str, timeout_s: float, have=(),
     ``first_json_s``: first-output watchdog.  Tunnel stalls concentrate
     in per-process setup (handshake/init, BASELINE.md ordering run #3) —
     a setup-stalled child prints NOTHING, while a healthy suite child
-    streams its first member line within ~60-180 s (warm load + one scan
+    streams its first member line within ~15-100 s (warm load + one scan
     dispatch).  Killing a child that has produced no JSON line by this
     deadline converts a dead 400 s slice into budget for another stall-
     lottery draw in a fresh process (stalls are per-process, so a retry
@@ -1676,7 +1678,7 @@ def main():
     # into ONE long-lived all_suite child per sweep, measured
     # sequentially with scan-dispatch timing (the headline single-call
     # runs first when missing).  Budgeted first-class: each child gets
-    # all remaining budget (the 180 s first-output watchdog, not the
+    # all remaining budget (the _FIRST_JSON_S first-output watchdog, not the
     # cap, is what bounds a setup-stalled draw), so an endemic-stall
     # session spends its budget on fresh lottery draws and the first
     # winning draw measures everything that is still missing.
@@ -1693,8 +1695,13 @@ def main():
             first_json_s=_FIRST_JSON_S,
             # endemic-stall budget mode: 2 timing dispatches per metric
             # (saves 2-8 s x ~20 metrics; the 2026-08-20 stress sample
-            # missed its last 3 members by ~120 s of the 1000 s budget)
-            extra_env={"CAE_BENCH_TIMING_CALLS": "2"},
+            # missed its last 3 members by ~120 s of the 1000 s budget).
+            # An explicit user CAE_BENCH_TIMING_CALLS wins.
+            extra_env=(
+                {}
+                if "CAE_BENCH_TIMING_CALLS" in os.environ
+                else {"CAE_BENCH_TIMING_CALLS": "2"}
+            ),
         )
         rates.update(got)
         print(

@@ -199,10 +199,14 @@ class DiskStreamDataset:
                 )
             self._var_shapes[name] = v.row_shape
             for f, p in zip(self.files[1:], self.paths[1:]):
-                if (
-                    name not in f.variables
-                    or f.variables[name].row_shape != v.row_shape
-                ):
+                if name not in f.variables:
+                    deferred = getattr(f, "unsupported", {}).get(name)
+                    if deferred is not None:  # unsupported in THIS file
+                        raise deferred
+                    raise ValueError(
+                        f"variable {name!r} not found in {p}"
+                    )
+                if f.variables[name].row_shape != v.row_shape:
                     raise ValueError(
                         f"variable {name} has inconsistent shape in {p}"
                     )

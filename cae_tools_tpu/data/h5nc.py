@@ -944,11 +944,13 @@ class H5Var:
             except Exception:
                 continue
             self.raw_attrs[a.name] = a
+            if a.name == "DIMENSION_LIST":
+                continue  # decoded once, lazily, in _resolve_dims
             try:
                 val = f._attr_value(a)
             except Exception:
                 continue
-            if val is not None and a.name != "DIMENSION_LIST":
+            if val is not None:
                 self.attrs[a.name] = val
         self._chunks = None
         self._cache = OrderedDict()

@@ -446,3 +446,23 @@ def test_ncproperties_hidden_from_global_attrs(tmp_path):
         f["x"] = np.arange(4, dtype=np.float32)
     ds = read_h5_dataset(p)
     assert "title" in ds.attrs and "_NCProperties" not in ds.attrs
+
+
+@pytest.mark.skipif(h5py is None, reason="h5py oracle not installed")
+def test_diskstream_deferred_error_in_later_file(tmp_path):
+    """A variable supported in file 0 but unsupported (string-typed) in
+    file 1 must surface file 1's actionable H5Error, not a misleading
+    'inconsistent shape'/'not found'."""
+    from cae_tools_tpu.data.diskstream import DiskStreamDataset
+
+    p0, p1 = str(tmp_path / "a.nc"), str(tmp_path / "b.nc")
+    with h5py.File(p0, "w") as f:
+        f["hires"] = np.ones((4, 1, 2, 2), np.float32)
+    with h5py.File(p1, "w") as f:
+        f["hires"] = np.bytes_(b"oops")
+    ds = DiskStreamDataset([p0, p1])
+    try:
+        with pytest.raises(H5Error, match="hires"):
+            ds.configure(["hires"], None)
+    finally:
+        ds.close()

@@ -356,14 +356,19 @@ def build_jax_unet_train(batch, k_steps, fused_tail=False, residual=False):
     return run, (params, state, opt_state), (x, y)
 
 
-def build_jax_varae_train(batch, k_steps):
+def build_jax_varae_train(batch, k_steps, fused_tail=False):
     """K VarAE train steps per ``lax.scan`` dispatch.
 
     The reference's VAE method (rebuilt per SURVEY §2.11; loss contract
     lambda_mse*MSE + lambda_kl*KL + lambda_ssim*(1 - MS-SSIM)).  On TPU
     the MS-SSIM value+grad runs in the fused Pallas kernels
     (``ops/pallas/msssim_kernel.py``) — this metric is the
-    driver-recordable evidence for them."""
+    driver-recordable evidence for them.  ``fused_tail`` mirrors the
+    product default since round 5 (``var_ae_model.py::_make_loss_fn``):
+    the final ConvT+sigmoid+SSE and its analytic backward run in the
+    *emitting* Pallas pair (``train_tail.last_stage_sse_emit``), which
+    writes the full-resolution output once as the MS-SSIM kernels' input
+    and folds their adjoint into the fused ConvT backprop."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -386,18 +391,46 @@ def build_jax_varae_train(batch, k_steps):
     else:
         _msssim_fn = msssim_ops.msssim
 
-    def loss_fn(params, state, rng, x, y):
-        (mu, logvar), es2 = enc.apply(params["e"], state["e"], x, True)
-        z = M.reparameterize(rng, mu, logvar)
-        out, ds2 = dec.apply(params["d"], state["d"], z, True)
-        mse = jnp.mean((out - y) ** 2)
-        kl = jnp.mean(
-            -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
-        )
-        ssim = jnp.mean(
-            _msssim_fn(out, y, data_range=1.0, average=False)
-        )
-        return mse + kl + (1.0 - ssim), {"e": es2, "d": ds2}
+    if fused_tail:
+        from cae_tools_tpu.ops.pallas.train_tail import last_stage_sse_emit
+
+        o_c, o_h, o_w = dec.layers[-1].get_output_dimensions()
+        denom = float(o_c * o_h * o_w)
+        interpret = jax.default_backend() != "tpu"
+
+        def loss_fn(params, state, rng, x, y):
+            (mu, logvar), es2 = enc.apply(params["e"], state["e"], x, True)
+            z = M.reparameterize(rng, mu, logvar)
+            h, ds2 = dec.apply_head(params["d"], state["d"], z, True)
+            cp = params["d"]["convs"][-1]
+            sse, out = last_stage_sse_emit(
+                cp["w"], cp["b"], h, y, interpret=interpret
+            )
+            mse = jnp.mean(sse) / denom
+            kl = jnp.mean(
+                -0.5 * jnp.sum(
+                    1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1
+                )
+            )
+            ssim = jnp.mean(
+                _msssim_fn(out, y, data_range=1.0, average=False)
+            )
+            return mse + kl + (1.0 - ssim), {"e": es2, "d": ds2}
+
+    else:
+
+        def loss_fn(params, state, rng, x, y):
+            (mu, logvar), es2 = enc.apply(params["e"], state["e"], x, True)
+            z = M.reparameterize(rng, mu, logvar)
+            out, ds2 = dec.apply(params["d"], state["d"], z, True)
+            mse = jnp.mean((out - y) ** 2)
+            kl = jnp.mean(
+                -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1)
+            )
+            ssim = jnp.mean(
+                _msssim_fn(out, y, data_range=1.0, average=False)
+            )
+            return mse + kl + (1.0 - ssim), {"e": es2, "d": ds2}
 
     @partial(jax.jit, donate_argnums=(0,))
     def run(carry, rng, x, y):
@@ -1030,6 +1063,12 @@ def _roofline_rows(rates):
         "train_varae": (
             3 * fwd, train_bytes(_VARAE_BATCH), 3,
             "conv core only (MS-SSIM value+grad excl.)"),
+        # emitting fused tail: the stage's 4x round trip collapses to the
+        # two trips the SSIM term makes structural (out write, dout read)
+        "train_varae_fused": (
+            3 * fwd,
+            train_bytes(_VARAE_BATCH, fused=True) + f32 * 2 * last_out,
+            3, "conv core only, emitting fused tail (MS-SSIM excl.)"),
         "train_srcnn": (
             3 * sr["fwd_flops"], sr_train_bytes, 3, "srcnn_res train step"),
         "train_srcnn_bf16": (
@@ -1223,12 +1262,14 @@ def measure_one(metric: str) -> dict:
         )
         unet_ips = _UNET_BATCH / time_jax_train_scan(urun, ucarry, udata, k)
         return {metric: unet_ips}
-    if metric == "train_varae":
+    if metric in ("train_varae", "train_varae_fused"):
         convops.set_precision("high")
         k = _TRAIN_SCAN_STEPS
-        vrun, vcarry, vdata = build_jax_varae_train(_VARAE_BATCH, k)
+        vrun, vcarry, vdata = build_jax_varae_train(
+            _VARAE_BATCH, k, fused_tail=metric.endswith("_fused")
+        )
         varae_ips = _VARAE_BATCH / time_jax_train_scan(vrun, vcarry, vdata, k)
-        return {"train_varae": varae_ips}
+        return {metric: varae_ips}
     if metric in ("train_srcnn", "train_srcnn_bf16"):
         # SRCNNRes is the one FLOP-bound model in the suite (~22 GFLOP/img
         # train; arith intensity ~200 FLOP/B) — the precision ladder moves
@@ -1416,6 +1457,7 @@ _TRAIN_METRICS = (
     # precision-ladder A/B on the one FLOP-bound model).
     "train_convae_bf16",  # 1-pass bf16 train path (--precision default)
     "train_srcnn_bf16",   # SRCNN 1-pass bf16 A/B (FLOP-bound model)
+    "train_varae_fused",  # emitting fused tail + Pallas MS-SSIM (round 5)
     "train_srcnn",    # SRCNNRes residual super-resolver (MSE, adam_l2)
     "train_gan",      # ResUNetGAN two-player WGAN-GP step (n_critic=1)
     "train_unetres_fused",  # UNETRes residual head fused in-kernel
@@ -1459,6 +1501,7 @@ _ALL_KEYS = ("apply_fused", "train_convae_fused", "train_convae",
              "train_convae_fused_bf16",
              "train_unet_fused", "train_unet_fused_bf16", "train_unet",
              "train_unetres_fused", "train_unetres", "train_varae",
+             "train_varae_fused",
              "train_convae_bf16", "train_srcnn", "train_srcnn_bf16",
              "train_gan",
              "apply_unet_fused", "apply_unet",
@@ -1515,6 +1558,7 @@ def _build_result(rates, torch_stats, elapsed_s):
         "train_unetres": "train_unetres_images_per_sec",
         "train_unetres_fused": "train_unetres_fused_images_per_sec",
         "train_varae": "train_varae_images_per_sec",
+        "train_varae_fused": "train_varae_fused_images_per_sec",
         "train_srcnn": "train_srcnn_images_per_sec",
         "train_srcnn_bf16": "train_srcnn_bf16_images_per_sec",
         "train_gan": "train_gan_images_per_sec",
@@ -1546,6 +1590,7 @@ def _build_result(rates, torch_stats, elapsed_s):
         # the precision ladder on the FLOP-bound SRCNN step
         ("apply_bf16out_vs_fused", "apply_fused_bf16out", "apply_fused_scan"),
         ("train_srcnn_bf16_vs_high", "train_srcnn_bf16", "train_srcnn"),
+        ("train_varae_fused_vs_xla", "train_varae_fused", "train_varae"),
     ):
         if rates.get(num) and rates.get(den):
             result[name] = round(rates[num] / rates[den], 2)

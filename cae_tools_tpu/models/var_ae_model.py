@@ -137,12 +137,18 @@ class VarAEModel(ConvAEModel):
         return min(oy, ox)
 
     def _use_fused_train_tail(self):
-        """ConvAE gate plus: the MS-SSIM term must be inert (λ_ssim == 0,
-        or the output too small for even single-scale SSIM).  MS-SSIM's
-        Gaussian pyramid needs the full-resolution output, which is
-        exactly what the fused tail avoids materializing."""
-        ssim_active = self.lambda_ssim != 0 and self._min_output_hw() >= 11
-        return not ssim_active and super()._use_fused_train_tail()
+        """Same gate as ConvAE; ``_make_loss_fn`` picks the fused *form*.
+
+        With the MS-SSIM term inert (λ_ssim == 0, or the output below the
+        11-pixel SSIM window) the plain SSE pair runs and the
+        full-resolution output never reaches HBM.  With MS-SSIM active the
+        *emitting* pair runs instead (``train_tail.last_stage_sse_emit``,
+        round 5): the forward writes the output once — the SSIM kernels'
+        structurally-unavoidable input — and the backward folds the
+        analytic MS-SSIM adjoint into the fused ConvT backprop.  The HPO
+        vmap sweep still pins this gate off per instance
+        (``hpo/optim.py``) because λ_ssim is a traced scalar there."""
+        return super()._use_fused_train_tail()
 
     def _make_loss_fn(self):
         encoder, decoder = self.encoder, self.decoder
@@ -150,7 +156,21 @@ class VarAEModel(ConvAEModel):
         lambda_kl = self.lambda_kl
         lambda_ssim = self.lambda_ssim
 
-        if self._use_fused_train_tail():
+        fused = self._use_fused_train_tail()
+        # under the HPO vmap sweep λ_ssim is a traced scalar: no fused
+        # form can be picked statically, so keep the XLA loss (the sweep
+        # also pins the gate off — this guard keeps _make_loss_fn safe
+        # even when called with a tracer before/without that pin)
+        traced_ls = isinstance(self.lambda_ssim, jax.core.Tracer)
+        if traced_ls:
+            fused = False
+        ssim_active = (
+            not traced_ls
+            and self.lambda_ssim != 0
+            and self._min_output_hw() >= 11
+        )
+
+        if fused and not ssim_active:
             # λ_mse·(fused-SSE mean) + λ_kl·KL; the SSIM term is inert so
             # the full-resolution output never reaches HBM
             # (ops/pallas/train_tail.py, same kernel as ConvAEModel)
@@ -237,6 +257,51 @@ class VarAEModel(ConvAEModel):
 
         else:
             ssim_per_sample = None
+
+        if fused and ssim_active and ssim_per_sample is not None:
+            # MS-SSIM active: fuse what the SSIM term does not pin.  The
+            # emitting SSE pair (ops/pallas/train_tail.py, round 5) keeps
+            # the final ConvT + sigmoid + SSE and its analytic backward in
+            # VMEM while writing the full-resolution output exactly once as
+            # the SSIM kernels' input; the MS-SSIM adjoint re-enters the
+            # fused backward as the external `out` cotangent.
+            from ..ops.pallas.train_tail import last_stage_sse_emit
+
+            interpret = jax.default_backend() != "tpu"
+            mesh = self.mesh
+            o_c, o_h, o_w = decoder.layers[-1].get_output_dimensions()
+            denom = float(o_c * o_h * o_w)
+
+            def loss_fn(params, state, rng, batch, train):
+                (mu, logvar), enc_s = encoder.apply(
+                    params["encoder"], state["encoder"], batch["x"], train
+                )
+                z = M.reparameterize(rng, mu, logvar) if train else mu
+                h, dec_s = decoder.apply_head(
+                    params["decoder"], state["decoder"], z, train
+                )
+                cp = params["decoder"]["convs"][-1]
+                sse, out = last_stage_sse_emit(
+                    cp["w"], cp["b"], h, batch["y"], interpret=interpret,
+                    mesh=mesh,
+                )
+                w = batch["w"]
+                wsum = jnp.maximum(jnp.sum(w), 1.0)
+                mse = jnp.sum((sse / denom) * w) / wsum
+                per_kl = -0.5 * jnp.sum(
+                    1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1
+                )
+                kl = jnp.sum(per_kl * w) / wsum
+                per_ssim = ssim_per_sample(out, batch["y"])
+                ssim_loss = 1.0 - jnp.sum(per_ssim * w) / wsum
+                loss = (
+                    lambda_mse * mse + lambda_kl * kl
+                    + lambda_ssim * ssim_loss
+                )
+                aux = {"mse": mse, "kl": kl, "ssim_loss": ssim_loss}
+                return loss, ({"encoder": enc_s, "decoder": dec_s}, aux)
+
+            return loss_fn
 
         def loss_fn(params, state, rng, batch, train):
             (mu, logvar), enc_s = encoder.apply(

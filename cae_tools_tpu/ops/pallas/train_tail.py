@@ -200,6 +200,199 @@ def _sse_bwd_kernel(x_ref, y_ref, w_ref, b_ref, g_ref, er_ref, fc_ref,
 
 
 # --------------------------------------------------------------------------
+# emitting SSE kernels (VarAE training loss with an active MS-SSIM term)
+# --------------------------------------------------------------------------
+#
+# The VarAE loss (λ_mse·MSE + λ_kl·KL + λ_ssim·(1−MS-SSIM), SURVEY §2.11)
+# needs the full-resolution output as the MS-SSIM kernels' input, so the
+# plain SSE pair above — whose whole point is never writing that tensor —
+# cannot carry it.  The *emitting* variant fuses everything that can still
+# fuse: the forward computes the stage in VMEM, reduces the per-image SSE
+# in-kernel AND writes the post-activation output exactly once (the one
+# HBM write the SSIM term makes structurally unavoidable); the backward
+# accepts the *external* output-cotangent ``dout`` (the λ_ssim·d(1−MS-SSIM)
+# adjoint produced by the analytic MS-SSIM backward kernel) alongside the
+# per-image SSE cotangent, recomputes the stage in VMEM, and folds both
+# sources into one activation-grad before the shared ConvT backprop —
+# d(out) = 2·(out−y)·g_sse + dout, then ·act'.  Versus the XLA loss this
+# still removes the separate sigmoid/loss-grad materialisations and runs
+# the ConvT dgrad/wgrad through the fused ``_stage_backprop`` path; the
+# only full-resolution HBM trips left are the two the loss graph itself
+# demands (out in the forward, dout in the backward).  Measured on the
+# round-5 trace (`scripts/trace_varae.py`): the unfused conv core is ~41%
+# of the 17.3 ms VarAE step — this variant is the fused-tail answer for
+# the half of that cost the SSIM term does not pin.
+
+
+def _sse_emit_fwd_kernel(x_ref, y_ref, w_ref, b_ref, er_ref, fc_ref,
+                         sse_ref, out_ref, *, geom, act):
+    cin = geom[2]
+    chans = [x_ref[0, c] for c in range(cin)]
+    outs = _stage_fused(chans, w_ref, b_ref, 0, 0, geom, act, er_ref, fc_ref)
+    acc = None
+    for co, o in enumerate(outs):
+        out_ref[0, co] = o
+        d = o - y_ref[0, co]
+        s = jnp.sum(d * d)
+        acc = s if acc is None else acc + s
+    sse_ref[pl.program_id(0)] = acc
+
+
+def _sse_emit_bwd_kernel(x_ref, y_ref, w_ref, b_ref, g_ref, go_ref, er_ref,
+                         fc_ref, eat_ref, fbt_ref, dx_ref, dw_ref, db_ref,
+                         *, geom, act):
+    cin, cout = geom[2], geom[3]
+    chans = [x_ref[0, c] for c in range(cin)]
+    outs = _stage_fused(chans, w_ref, b_ref, 0, 0, geom, act, er_ref, fc_ref)
+    # both cotangent sources are w.r.t. the POST-activation output: the
+    # per-image SSE cotangent and the external (e.g. MS-SSIM) adjoint —
+    # sum first, then one activation-grad
+    scale = 2.0 * g_ref[pl.program_id(0)]
+    ggs = []
+    for co in range(cout):
+        o = outs[co]
+        gg = (o - y_ref[0, co]) * scale + go_ref[0, co]
+        if act == "sigmoid":
+            gg = gg * (o * (1.0 - o))
+        ggs.append(gg)
+    _stage_backprop(chans, ggs, w_ref, eat_ref, fbt_ref,
+                    dx_ref, dw_ref, db_ref, geom)
+
+
+def _run_sse_emit_fwd(x, y, w_flat, b, geom, act, interpret):
+    n = x.shape[0]
+    _kh, _kw, cin, cout, i_h, i_w, o_h, o_w = geom
+    er, fc, _eat, _fbt = _mats(geom)
+    kernel = functools.partial(_sse_emit_fwd_kernel, geom=geom, act=act)
+    sse, out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _const_spec(er),
+            _const_spec(fc),
+        ],
+        out_specs=[
+            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n,), jnp.float32),
+            jax.ShapeDtypeStruct((n, cout, o_h, o_w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, y, w_flat, b, er, fc)
+    return sse, out
+
+
+def _run_sse_emit_bwd(x, y, w_flat, b, dsse, dout, geom, act, interpret):
+    n = x.shape[0]
+    k_h, k_w, cin, cout, i_h, i_w, o_h, o_w = geom
+    er, fc, eat, fbt = _mats(geom)
+    wn = k_h * k_w * cin * cout
+    kernel = functools.partial(_sse_emit_bwd_kernel, geom=geom, act=act)
+    dx, dw, db = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cout, o_h, o_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(er),
+            _const_spec(fc),
+            _const_spec(eat),
+            _const_spec(fbt),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cin, i_h, i_w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wn,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cout,), lambda i: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, cin, i_h, i_w), jnp.float32),
+            jax.ShapeDtypeStruct((wn,), jnp.float32),
+            jax.ShapeDtypeStruct((cout,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, y, w_flat, b, dsse, dout, er, fc, eat, fbt)
+    return dx, dw, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _sse_emit_core(geom, act, interpret, x, w_flat, b, y):
+    return _run_sse_emit_fwd(x, y, w_flat, b, geom, act, interpret)
+
+
+def _sse_emit_fwd_rule(geom, act, interpret, x, w_flat, b, y):
+    sse, out = _run_sse_emit_fwd(x, y, w_flat, b, geom, act, interpret)
+    return (sse, out), (x, w_flat, b, y)
+
+
+def _sse_emit_bwd_rule(geom, act, interpret, res, cts):
+    x, w_flat, b, y = res
+    dsse, dout = cts
+    dx, dw, db = _run_sse_emit_bwd(
+        x, y, w_flat, b,
+        dsse.astype(jnp.float32).reshape(-1),
+        dout.astype(jnp.float32), geom, act, interpret,
+    )
+    return dx, dw, db, jnp.zeros_like(y)
+
+
+_sse_emit_core.defvjp(_sse_emit_fwd_rule, _sse_emit_bwd_rule)
+
+
+def last_stage_sse_emit(w, b, h_nhwc, y_nhwc, final_act="sigmoid",
+                        interpret=False, mesh=None):
+    """Per-image SSE of the fused final decoder stage, PLUS the output.
+
+    ``(sse, out_nhwc) = last_stage_sse_emit(...)`` where ``sse[i]`` matches
+    ``last_stage_sse`` and ``out_nhwc`` is the post-activation stage output
+    ``act(convT_s2(h, w) + b)`` written once from VMEM — for losses whose
+    extra terms (MS-SSIM in ``VarAEModel``) need the full-resolution
+    output.  Differentiable in ``w``, ``b``, ``h``; the analytic backward
+    folds the external ``out`` cotangent into the fused ConvT backprop
+    (see the section comment above).
+    """
+    k_h, k_w = int(w.shape[0]), int(w.shape[1])
+    cin, cout = int(w.shape[2]), int(w.shape[3])
+    n, i_h, i_w, _ = h_nhwc.shape
+    o_h, o_w = _stage_geometry(int(i_h), int(i_w), k_h, k_w)
+    geom = (k_h, k_w, cin, cout, int(i_h), int(i_w), o_h, o_w)
+    x = _nhwc_to_nchw(h_nhwc).astype(jnp.float32)
+    yy = _nhwc_to_nchw(y_nhwc).astype(jnp.float32)
+    core = functools.partial(_sse_emit_core, geom, final_act, bool(interpret))
+
+    def call(w_flat, b_, x_, y_):
+        return core(x_, w_flat, b_, y_)
+
+    if mesh is not None and mesh.size > 1:
+        call = _shard_map_batch(call, mesh, n_batch_args=2, n_out=2)
+    sse, out = call(
+        w.astype(jnp.float32).reshape(-1),
+        b.astype(jnp.float32).reshape(-1), x, yy,
+    )
+    if cout == 1:  # same buffer layout; reshape is free
+        out_nhwc = out.reshape(n, o_h, o_w, 1)
+    else:
+        out_nhwc = jnp.transpose(out, (0, 2, 3, 1))
+    return sse, out_nhwc
+
+
+# --------------------------------------------------------------------------
 # masked-statistics kernels (UNET training loss)
 # --------------------------------------------------------------------------
 #

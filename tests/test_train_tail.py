@@ -16,6 +16,7 @@ from cae_tools_tpu.ops import convops
 from cae_tools_tpu.ops.pallas.train_tail import (
     last_stage_eligible,
     last_stage_sse,
+    last_stage_sse_emit,
 )
 
 
@@ -249,6 +250,29 @@ def test_fused_tail_dp_mesh_matches_single_device():
                 np.asarray(a_m), np.asarray(a_1), rtol=1e-5, atol=1e-6
             )
 
+        def sse_emit_loss(mesh_):
+            # consumes BOTH outputs (per-image sse + a dense function of
+            # out), so the shard_map n_out=2 wiring and the external
+            # cotangent path are exercised under the mesh
+            r = jnp.asarray(
+                np.random.default_rng(9).normal(size=y.shape), jnp.float32
+            )
+
+            def f(w_, b_, h_):
+                sse, out = last_stage_sse_emit(
+                    w_, b_, h_, y, interpret=True, mesh=mesh_
+                )
+                return jnp.mean(sse) + jnp.sum(out * r)
+            return jax.value_and_grad(f, argnums=(0, 1, 2))(w, b, h)
+
+        v_1, g_1 = sse_emit_loss(None)
+        v_m, g_m = sse_emit_loss(mesh)
+        np.testing.assert_allclose(float(v_m), float(v_1), rtol=1e-6)
+        for a_m, a_1 in zip(g_m, g_1):
+            np.testing.assert_allclose(
+                np.asarray(a_m), np.asarray(a_1), rtol=1e-5, atol=1e-6
+            )
+
         def stats_loss(mesh_):
             def f(w_, b_, h_):
                 stats = last_stage_masked_stats(
@@ -271,8 +295,9 @@ def test_fused_tail_dp_mesh_matches_single_device():
 
 
 def test_varae_fused_loss_matches_xla_loss():
-    """VarAE with an inert SSIM term: fused loss == XLA loss; any active
-    SSIM term keeps the XLA path (MS-SSIM needs the full output)."""
+    """VarAE with an inert SSIM term: fused loss == XLA loss; with the
+    term active the gate stays on and the emitting pair runs instead
+    (value+grad parity asserted in test_varae_fused_ssim_loss below)."""
     from cae_tools_tpu.models.var_ae_model import VarAEModel
 
     convops.set_precision("highest")
@@ -318,15 +343,131 @@ def test_varae_fused_loss_matches_xla_loss():
                 np.asarray(a_f), np.asarray(a_x), rtol=2e-5, atol=2e-5
             )
 
-        # active SSIM term gates the fused path off
+        # the gate is λ_ssim-independent since round 5 (the emitting pair
+        # serves the active-SSIM case); the HPO vmap sweep still pins the
+        # instance attribute off (hpo/optim.py)
         os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = "1"
         try:
             mt.lambda_ssim = 1.0
-            assert not mt._use_fused_train_tail()
+            assert mt._use_fused_train_tail()
             mt.lambda_ssim = 0.0
             assert mt._use_fused_train_tail()
+            mt._use_fused_train_tail = lambda: False  # the HPO pin
+            assert not mt._use_fused_train_tail()
+            del mt.__dict__["_use_fused_train_tail"]
         finally:
             del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+    finally:
+        convops.set_precision("high")
+
+
+def test_last_stage_sse_emit_value_and_grads():
+    """The emitting SSE pair: sse matches last_stage_sse, `out` matches the
+    XLA stage forward, and the analytic backward folds an arbitrary
+    external `out` cotangent correctly (exercised by a scalarization that
+    consumes BOTH outputs)."""
+    convops.set_precision("highest")
+    try:
+        spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(96, 96), output_channels=2,
+        )
+        assert last_stage_eligible(spec.output_layers[-1])
+        w, b, h, y = _last_stage(spec, seed=7)
+        rng = np.random.default_rng(8)
+        # random downstream weights: d(scalar)/d(out) is dense and
+        # non-uniform, so the external-cotangent path cannot hide
+        r = jnp.asarray(rng.normal(size=y.shape).astype(np.float32))
+        cot = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)
+
+        def out_ref_fn(w, b, h):
+            o = convops.conv_transpose2d(h, w, stride=2) + b
+            return jax.nn.sigmoid(o)
+
+        sse_e, out_e = last_stage_sse_emit(w, b, h, y, interpret=True)
+        sse_p = last_stage_sse(w, b, h, y, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(sse_e), np.asarray(sse_p), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_e), np.asarray(out_ref_fn(w, b, h)),
+            rtol=1e-4, atol=1e-4,
+        )
+
+        def scalar_fused(w, b, h):
+            sse, out = last_stage_sse_emit(w, b, h, y, interpret=True)
+            return jnp.sum(sse * cot) + jnp.sum(out * r)
+
+        def scalar_ref(w, b, h):
+            out = out_ref_fn(w, b, h)
+            sse = jnp.sum((out - y) ** 2, axis=(1, 2, 3))
+            return jnp.sum(sse * cot) + jnp.sum(out * r)
+
+        v_f, g_f = jax.value_and_grad(scalar_fused, argnums=(0, 1, 2))(w, b, h)
+        v_r, g_r = jax.value_and_grad(scalar_ref, argnums=(0, 1, 2))(w, b, h)
+        np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-5)
+        for a_f, a_r, name in zip(g_f, g_r, ("dw", "db", "dh")):
+            np.testing.assert_allclose(
+                np.asarray(a_f), np.asarray(a_r), rtol=1e-4, atol=1e-4,
+                err_msg=name,
+            )
+    finally:
+        convops.set_precision("high")
+
+
+def test_varae_fused_ssim_loss_matches_xla_loss():
+    """VarAE with an ACTIVE MS-SSIM term: the emitting fused loss (round 5)
+    == the XLA loss, value and grads — including the MS-SSIM adjoint
+    re-entering the fused backward as the external `out` cotangent."""
+    from cae_tools_tpu.models.var_ae_model import VarAEModel
+
+    convops.set_precision("highest")
+    try:
+        mt = VarAEModel(encoded_dim_size=8, fc_size=16, lambda_ssim=1.0)
+        mt.spec = create_model_spec(
+            input_size=(16, 16), input_channels=1,
+            output_size=(64, 64), output_channels=1,
+        )
+        mt.input_shape = (1, 16, 16)
+        mt.output_shape = (1, 64, 64)
+        mt._build_modules()
+        mt._init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(5)
+        batch = {
+            "x": jnp.asarray(rng.random((4, 16, 16, 1), dtype=np.float32)),
+            "y": jnp.asarray(rng.random((4, 64, 64, 1), dtype=np.float32)),
+            "w": jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
+        }
+
+        def run(flag):
+            os.environ["CAE_TPU_FUSED_TRAIN_TAIL"] = flag
+            try:
+                loss_fn = mt._make_loss_fn()
+            finally:
+                del os.environ["CAE_TPU_FUSED_TRAIN_TAIL"]
+
+            def scalar(params):
+                loss, (_, aux) = loss_fn(
+                    params, mt.state, jax.random.PRNGKey(3), batch, True
+                )
+                return loss, aux
+
+            return jax.value_and_grad(scalar, has_aux=True)(mt.params)
+
+        (v_f, aux_f), g_f = run("1")
+        (v_x, aux_x), g_x = run("0")
+        # an active SSIM term must actually contribute on both paths
+        assert float(aux_f["ssim_loss"]) > 1e-4
+        np.testing.assert_allclose(
+            float(aux_f["ssim_loss"]), float(aux_x["ssim_loss"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-5)
+        for a_f, a_x in zip(
+            jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_x)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a_f), np.asarray(a_x), rtol=2e-5, atol=2e-5
+            )
     finally:
         convops.set_precision("high")
 

@@ -60,15 +60,22 @@ def _scale_kernel(x_ref, y_ref, ssim_ref, cs_ref, *, h, w, win, c1, c2):
     wv = w - (_WIN - 1)  # valid cols after horizontal blur
 
     def blur(img):
-        # horizontal pass: (h, w) -> (h, wv)
+        # Both passes slice SUBLANES: the horizontal pass runs in
+        # transposed space at the price of one VMEM transpose per pass.
+        # Lane-dimension slices (`img[:, k:k+wv]`) cost a vector
+        # realignment per tap; measured A/B at the flagship shape
+        # (scripts/ssim_blur_ab.py, TPU v5e, b256 256^2): transposed
+        # 8.05 us/img vs 11.43 current vs 12.67 stacked-fields — 1.42x,
+        # bit-identical (same adds, same order, per output element).
+        it = img.T  # (w, h)
         acc = None
         for k in range(_WIN):
-            term = img[:, k : k + wv] * win[k]
+            term = it[k : k + wv, :] * win[k]
             acc = term if acc is None else acc + term
-        # vertical pass: (h, wv) -> (hv, wv)
+        a = acc.T  # (h, wv) == the horizontal-pass result
         out = None
         for k in range(_WIN):
-            term = acc[k : k + hv, :] * win[k]
+            term = a[k : k + hv, :] * win[k]
             out = term if out is None else out + term
         return out
 
@@ -141,13 +148,16 @@ def _scale_bwd_kernel(
     wv = w - (_WIN - 1)
 
     def blur(img):
+        # transposed-space horizontal pass — see _scale_kernel.blur
+        it = img.T  # (w, h)
         acc = None
         for k in range(_WIN):
-            term = img[:, k : k + wv] * win[k]
+            term = it[k : k + wv, :] * win[k]
             acc = term if acc is None else acc + term
+        a = acc.T  # (h, wv)
         out = None
         for k in range(_WIN):
-            term = acc[k : k + hv, :] * win[k]
+            term = a[k : k + hv, :] * win[k]
             out = term if out is None else out + term
         return out
 
@@ -157,17 +167,21 @@ def _scale_bwd_kernel(
         The window is symmetric, so G^T = full correlation = VALID blur of
         the (WIN-1)-zero-padded map — same shifted multiply-adds as the
         forward (Mosaic has no scatter-add, so no ``.at[].add`` here).
+        Horizontal pass in transposed space like ``blur`` (sublane slices
+        only; measured 1.42x, bit-identical — scripts/ssim_blur_ab.py).
         """
         mp = jnp.pad(m, ((_WIN - 1, _WIN - 1), (_WIN - 1, _WIN - 1)))
-        # horizontal: (hv+2p, wv+2p) -> (hv+2p, w)
+        mt = mp.T  # (wv+2p, hv+2p)
+        # horizontal (transposed): -> (w, hv+2p)
         acc = None
         for k in range(_WIN):
-            term = mp[:, k : k + w] * win[k]
+            term = mt[k : k + w, :] * win[k]
             acc = term if acc is None else acc + term
+        a = acc.T  # (hv+2p, w)
         # vertical: -> (h, w)
         out = None
         for k in range(_WIN):
-            term = acc[k : k + h, :] * win[k]
+            term = a[k : k + h, :] * win[k]
             out = term if out is None else out + term
         return out
 
